@@ -1,0 +1,110 @@
+"""Columnar ingest of Hi-C alignments in 4DN `.pairs` format.
+
+The reference iterates read pairs one by one in Python and mutates
+defaultdicts (scripts/HapHiC_cluster.py:1539-1583) — its top wall-clock
+hot loop. Here every chunk of the file becomes four numpy columns
+(ref_id, pos, mref_id, mpos); all downstream statistics are vectorized
+segment reductions (see haphic_tpu.core.contacts).
+
+A `alignments.bed` side file can be emitted for `juicer pre`, matching
+the reference's BED lines (scripts/HapHiC_cluster.py:1549-1557).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class AlignChunk:
+    """One chunk of alignment records (0-based positions, like pysam)."""
+    ref: np.ndarray    # int32 contig ids (-1 = not in FASTA)
+    pos: np.ndarray    # int64 0-based
+    mref: np.ndarray
+    mpos: np.ndarray
+
+
+def detect_format(path: str) -> str:
+    """Parity: scripts/HapHiC_cluster.py:2510-2527."""
+    if path.endswith('.bam'):
+        return 'bam'
+    if path.endswith('.pairs'):
+        return 'pairs'
+    if path.endswith('.pairs.gz'):
+        return 'bgzipped_pairs'
+    raise RuntimeError('Unknown file format for Hi-C read alignments')
+
+
+class PairsReader:
+    """Chunked reader for .pairs / .pairs.gz.
+
+    Yields :class:`AlignChunk` with contig names resolved to ids via the
+    sorted ``names`` array (unknown contigs → -1). Optionally tees BED
+    records (read1/read2 lines) to ``bed_path``.
+    """
+
+    def __init__(self, path: str, names: List[str],
+                 bed_path: Optional[str] = None,
+                 chunk_lines: int = 2_000_000):
+        self.path = path
+        self.names_arr = np.asarray(names)
+        self.bed_path = bed_path
+        self.chunk_lines = chunk_lines
+
+    def _open(self):
+        if self.path.endswith('.gz'):
+            return gzip.open(self.path, 'rt')
+        return open(self.path, 'rt', buffering=1 << 20)
+
+    def _resolve(self, name_col: List[str]) -> np.ndarray:
+        arr = np.asarray(name_col)
+        idx = np.searchsorted(self.names_arr, arr)
+        idx_c = np.clip(idx, 0, len(self.names_arr) - 1)
+        ok = self.names_arr[idx_c] == arr
+        return np.where(ok, idx_c, -1).astype(np.int32)
+
+    def __iter__(self) -> Iterator[AlignChunk]:
+        bed = open(self.bed_path, 'w') if self.bed_path else None
+        refs: List[str] = []
+        mrefs: List[str] = []
+        poss: List[int] = []
+        mposs: List[int] = []
+        ids: List[str] = []
+
+        def flush() -> AlignChunk:
+            nonlocal refs, mrefs, poss, mposs, ids
+            if bed is not None:
+                out = _io.StringIO()
+                for k in range(len(ids)):
+                    out.write('{0}\t{1}\t{1}\t{2}/1\t255\t.\n{3}\t{4}\t{4}\t{2}/2\t255\t.\n'
+                              .format(refs[k], poss[k], ids[k], mrefs[k], mposs[k]))
+                bed.write(out.getvalue())
+            chunk = AlignChunk(
+                ref=self._resolve(refs),
+                pos=np.asarray(poss, dtype=np.int64),
+                mref=self._resolve(mrefs),
+                mpos=np.asarray(mposs, dtype=np.int64))
+            refs, mrefs, poss, mposs, ids = [], [], [], [], []
+            return chunk
+
+        with self._open() as f:
+            for line in f:
+                if not line.strip() or line.startswith('#'):
+                    continue
+                cols = line.split()
+                ids.append(cols[0])
+                refs.append(cols[1])
+                poss.append(int(cols[2]) - 1)   # pairs are 1-based
+                mrefs.append(cols[3])
+                mposs.append(int(cols[4]) - 1)
+                if len(ids) >= self.chunk_lines:
+                    yield flush()
+            if ids:
+                yield flush()
+        if bed is not None:
+            bed.close()

@@ -1,0 +1,102 @@
+"""Test-only bridge to the upstream reference implementation.
+
+The reference at /root/reference is used as a *parity oracle* in tests:
+we import its pure-Python functions (with light stubs for pysam/portion,
+which are absent from this environment) and assert our vectorized
+implementations produce identical results. No reference code is copied
+into the package.
+"""
+
+import sys
+import types
+
+REF_SCRIPTS = '/root/reference/scripts'
+
+
+class _Interval:
+    """Minimal portion-compatible closed-interval union (enough for
+    detect_break_points-style usage: |, -, len, iteration, lower/upper)."""
+
+    def __init__(self, spans=()):
+        self.spans = self._merge(list(spans))
+
+    @staticmethod
+    def _merge(spans):
+        spans = sorted((s for s in spans if s[0] <= s[1]))
+        out = []
+        for lo, hi in spans:
+            if out and lo <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], hi))
+            else:
+                out.append((lo, hi))
+        return out
+
+    def __or__(self, other):
+        return _Interval(self.spans + other.spans)
+
+    def __ior__(self, other):
+        return self.__or__(other)
+
+    def __sub__(self, other):
+        # closed-interval difference; adjacent (touching) endpoints vanish
+        result = []
+        for lo, hi in self.spans:
+            pieces = [(lo, hi)]
+            for olo, ohi in other.spans:
+                nxt = []
+                for plo, phi in pieces:
+                    if ohi < plo or olo > phi:
+                        nxt.append((plo, phi))
+                        continue
+                    if olo > plo:
+                        nxt.append((plo, olo))
+                    if ohi < phi:
+                        nxt.append((ohi, phi))
+                pieces = nxt
+            result.extend(pieces)
+        return _Interval(result)
+
+    def __len__(self):
+        return len(self.spans)
+
+    def __iter__(self):
+        for lo, hi in self.spans:
+            yield _Interval([(lo, hi)])
+
+    @property
+    def lower(self):
+        return self.spans[0][0]
+
+    @property
+    def upper(self):
+        return self.spans[-1][1]
+
+    def __bool__(self):
+        return bool(self.spans)
+
+
+def _install_stubs():
+    if 'pysam' not in sys.modules:
+        try:
+            import pysam  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType('pysam')
+            stub.set_verbosity = lambda *a, **k: None
+            stub.AlignmentFile = object
+            sys.modules['pysam'] = stub
+    if 'portion' not in sys.modules:
+        try:
+            import portion  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType('portion')
+            stub.closed = lambda a, b: _Interval([(a, b)])
+            stub.empty = lambda: _Interval()
+            sys.modules['portion'] = stub
+
+
+def load(module_name):
+    """Import a reference script module (e.g. 'HapHiC_cluster')."""
+    _install_stubs()
+    if REF_SCRIPTS not in sys.path:
+        sys.path.insert(0, REF_SCRIPTS)
+    return __import__(module_name)
