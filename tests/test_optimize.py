@@ -1,0 +1,173 @@
+"""Tests for the TPU tour optimizer (allhic replacement)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from haphic_tpu.order import optimize as opt
+
+
+def _random_problem(seed, k=6, R=200):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(10000, 100000, size=k)
+    a = rng.integers(0, k - 1, size=R)
+    b = a + rng.integers(1, k - np.maximum(a, 1), size=R).clip(1)
+    b = np.minimum(b, k - 1)
+    keep = a < b
+    a, b = a[keep], b[keep]
+    pa = rng.integers(0, lengths[a])
+    pb = rng.integers(0, lengths[b])
+    d = np.stack([
+        lengths[a] - pa + pb,
+        lengths[a] - pa + lengths[b] - pb,
+        pa + pb,
+        pa + lengths[b] - pb,
+    ]).astype(np.float32)
+    return opt.TourProblem(lengths=lengths.astype(np.int64),
+                           pair_a=a.astype(np.int32),
+                           pair_b=b.astype(np.int32),
+                           d=d, w=np.ones(len(a), np.float32))
+
+
+def _brute_score(problem, order, ori):
+    k = problem.k
+    pos = {int(c): i for i, c in enumerate(order)}
+    starts = np.cumsum([0] + [problem.lengths[c] for c in order[:-1]])
+    start_of = {int(c): starts[i] for i, c in enumerate(order)}
+    ori_of = {int(c): int(ori[pos[c]]) for c in order}
+    total = 0.0
+    for r in range(problem.n_records):
+        a, b = int(problem.pair_a[r]), int(problem.pair_b[r])
+        if pos[a] < pos[b]:
+            gap = start_of[b] - (start_of[a] + problem.lengths[a])
+            combo = 2 * ori_of[a] + ori_of[b]
+        else:
+            gap = start_of[a] - (start_of[b] + problem.lengths[b])
+            combo = 3 - (2 * ori_of[a] + ori_of[b])
+        dist = max(float(problem.d[combo, r]) + gap, 1.0)
+        total += float(problem.w[r]) / dist
+    return total
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_score_matches_bruteforce(seed):
+    import jax.numpy as jnp
+    problem = _random_problem(seed)
+    rng = np.random.default_rng(seed + 100)
+    P = 4
+    orders = np.stack([rng.permutation(problem.k) for _ in range(P)]
+                      ).astype(np.int32)
+    oris = rng.integers(0, 2, size=(P, problem.k)).astype(np.int32)
+    pa, pb, d, w, _ = opt._pad_records(problem, 64)
+    got = np.asarray(opt._score_population(
+        jnp.asarray(orders), jnp.asarray(oris),
+        jnp.asarray(problem.lengths), jnp.asarray(pa), jnp.asarray(pb),
+        jnp.asarray(d), jnp.asarray(w), 64))
+    for p in range(P):
+        expected = _brute_score(problem, orders[p], oris[p])
+        assert got[p] == pytest.approx(expected, rel=1e-4)
+
+
+def _sim_chromosome_problem(seed, k=8, n_pairs=4000, decay=40000.0):
+    """Contigs tiled on a chromosome in a random order/orientation;
+    read pairs sampled with exponential-decay separation."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(40000, 120000, size=k).astype(np.int64)
+    true_order = rng.permutation(k)
+    true_ori = rng.integers(0, 2, size=k)
+
+    starts = np.cumsum(np.concatenate([[0], lengths[true_order][:-1]]))
+    start_of = np.zeros(k, np.int64)
+    start_of[true_order] = starts
+
+    def genome_pos(c, p):
+        # position p (0-based) within contig c -> chromosome coordinate
+        if true_ori[c] == 0:
+            return start_of[c] + p
+        return start_of[c] + lengths[c] - 1 - p
+
+    recs_a, recs_b, recs_d = [], [], []
+    total_len = int(lengths.sum())
+    for _ in range(n_pairs):
+        x = rng.integers(0, total_len)
+        sep = int(rng.exponential(decay)) + 1
+        y = x + sep
+        if y >= total_len:
+            continue
+        # locate contigs
+        ca = int(np.searchsorted(starts, x, side='right')) - 1
+        cb = int(np.searchsorted(starts, y, side='right')) - 1
+        ca, cb = int(true_order[ca]), int(true_order[cb])
+        if ca == cb:
+            continue
+        pa_ = x - start_of[ca] if true_ori[ca] == 0 \
+            else start_of[ca] + lengths[ca] - 1 - x
+        pb_ = y - start_of[cb] if true_ori[cb] == 0 \
+            else start_of[cb] + lengths[cb] - 1 - y
+        a, b, pa2, pb2 = (ca, cb, pa_, pb_) if ca < cb else (cb, ca, pb_, pa_)
+        recs_a.append(a)
+        recs_b.append(b)
+        recs_d.append([lengths[a] - pa2 + pb2,
+                       lengths[a] - pa2 + lengths[b] - pb2,
+                       pa2 + pb2,
+                       pa2 + lengths[b] - pb2])
+    problem = opt.TourProblem(
+        lengths=lengths,
+        pair_a=np.asarray(recs_a, np.int32),
+        pair_b=np.asarray(recs_b, np.int32),
+        d=np.asarray(recs_d, np.float32).T,
+        w=np.ones(len(recs_a), np.float32))
+    return problem, true_order, true_ori
+
+
+def _canonical_tour(order, ori):
+    fwd = tuple(zip(order.tolist(), ori.tolist()))
+    rev = tuple((c, 1 - o) for c, o in fwd[::-1])
+    return min(fwd, rev)
+
+
+@pytest.mark.parametrize('seed', [3])
+def test_ga_recovers_true_order(seed):
+    problem, true_order, true_ori = _sim_chromosome_problem(seed)
+    res = opt.optimize_tour(problem, npop=32, ngen=600, seed=1,
+                            log_every=200, chunk=1024)
+    # monotone improvement
+    scores = [s for _, s in res.history]
+    assert all(b >= a - 1e-6 for a, b in zip(scores, scores[1:]))
+    true_score = _brute_score(problem, true_order,
+                              true_ori[true_order])
+    # GA should reach (or beat: finite sampling) the truth's score
+    assert res.score >= 0.95 * true_score
+    got = _canonical_tour(res.order, res.ori)
+    want = _canonical_tour(true_order, true_ori[true_order])
+    assert got == want
+
+
+def test_hot_start_and_skip_ga():
+    problem, true_order, true_ori = _sim_chromosome_problem(5)
+    hot = (true_order.astype(np.int32),
+           true_ori[true_order].astype(np.int32))
+    res = opt.optimize_tour(problem, npop=8, skip_ga=True, hot_start=hot,
+                            chunk=1024)
+    assert res.score == pytest.approx(
+        _brute_score(problem, true_order, true_ori[true_order]), rel=1e-4)
+    assert np.array_equal(res.order, hot[0])
+
+
+def test_tour_file_format(tmp_path):
+    problem, true_order, true_ori = _sim_chromosome_problem(7)
+    res = opt.optimize_tour(problem, npop=8, ngen=100, log_every=50,
+                            chunk=1024)
+    names = ['c{}'.format(i) for i in range(problem.k)]
+    tour = opt.result_to_tour(res, np.arange(problem.k), names)
+    p = tmp_path / 'group1.tour'
+    opt.write_ga_tour(str(p), res, tour)
+    lines = p.read_text().splitlines()
+    assert lines[0] == '>INIT'
+    ga_lines = [l for l in lines if l.startswith('>GA')]
+    assert len(ga_lines) == 2 and ga_lines[0].startswith('>GA50-')
+    # final line holds every contig exactly once with orientation
+    final = lines[-1].split()
+    assert sorted(x[:-1] for x in final) == sorted(names)
+    assert all(x[-1] in '+-' for x in final)
