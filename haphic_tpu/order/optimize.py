@@ -114,9 +114,19 @@ def build_problem(ctg_ids: Sequence[int], lengths_all: np.ndarray,
         w=cnt.astype(np.float32))
 
 
+def _bucket(n: int, base: int) -> int:
+    """Round up to base * 2^k — bounds the number of distinct compiled
+    shapes to O(log n) across groups of different sizes."""
+    out = base
+    while out < n:
+        out *= 2
+    return out
+
+
 def _pad_records(p: TourProblem, chunk: int):
     R = p.n_records
-    Rp = max(chunk, ((R + chunk - 1) // chunk) * chunk)
+    # power-of-two number of chunks so the scan length is bucketed too
+    Rp = _bucket(max(R, 1), chunk)
     pad = Rp - R
     pa = np.pad(p.pair_a, (0, pad))
     pb = np.pad(p.pair_b, (0, pad))
@@ -270,36 +280,55 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
         order = np.zeros(max(k, 1), dtype=np.int32)[:k]
         return GAResult(order=order, ori=np.zeros_like(order), score=0.0,
                         history=[])
+    # pad the contig axis with zero-length dummies: they never appear in
+    # a CLM record and add zero length, so any position they take in a
+    # tour is score-neutral — this buckets compiled shapes across groups
+    k_pad = _bucket(k, 8)
+    lengths_padded = np.zeros(k_pad, dtype=np.int64)
+    lengths_padded[:k] = problem.lengths
     pa, pb, d, w, _ = _pad_records(problem, chunk)
-    lengths = jnp.asarray(problem.lengths)
+    lengths = jnp.asarray(lengths_padded)
     pa, pb = jnp.asarray(pa), jnp.asarray(pb)
     d, w = jnp.asarray(d), jnp.asarray(w)
 
     key = jax.random.PRNGKey(seed)
     if hot_start is not None:
-        base_order = np.asarray(hot_start[0], dtype=np.int32)
-        base_ori = np.asarray(hot_start[1], dtype=np.int32)
+        base_order = np.concatenate([
+            np.asarray(hot_start[0], dtype=np.int32),
+            np.arange(k, k_pad, dtype=np.int32)])
+        base_ori = np.concatenate([
+            np.asarray(hot_start[1], dtype=np.int32),
+            np.zeros(k_pad - k, dtype=np.int32)])
     else:
-        base_order = np.arange(k, dtype=np.int32)
-        base_ori = np.zeros(k, dtype=np.int32)
+        base_order = np.arange(k_pad, dtype=np.int32)
+        base_ori = np.zeros(k_pad, dtype=np.int32)
 
-    order = jnp.broadcast_to(jnp.asarray(base_order), (npop, k)).astype(jnp.int32)
-    ori = jnp.broadcast_to(jnp.asarray(base_ori), (npop, k)).astype(jnp.int32)
+    order = jnp.broadcast_to(jnp.asarray(base_order),
+                             (npop, k_pad)).astype(jnp.int32)
+    ori = jnp.broadcast_to(jnp.asarray(base_ori),
+                           (npop, k_pad)).astype(jnp.int32)
     if hot_start is None:
         # diversify all but row 0 with one shuffle each
         key, k0 = jax.random.split(key)
         perm = jax.random.permutation(
-            k0, jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (npop, k)),
+            k0, jnp.broadcast_to(jnp.arange(k_pad, dtype=jnp.int32),
+                                 (npop, k_pad)),
             axis=1, independent=True)
         order = order.at[1:].set(perm[1:])
 
     scores = _score_population(order, ori, lengths, pa, pb, d, w, chunk)
     best0 = float(jnp.max(scores))
     history: List[Tuple[int, float]] = [(0, best0)]
+    def strip(o, r):
+        o = np.asarray(o)
+        r = np.asarray(r)
+        real = o < k
+        return o[real], r[real]
+
     if skip_ga:
         b = int(jnp.argmax(scores))
-        return GAResult(order=np.asarray(order[b]), ori=np.asarray(ori[b]),
-                        score=best0, history=history)
+        o, r = strip(order[b], ori[b])
+        return GAResult(order=o, ori=r, score=best0, history=history)
 
     done = 0
     while done < ngen:
@@ -312,8 +341,8 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
         history.append((done, best))
         logger.debug('GA generation %d: best score %.6f', done, best)
 
-    return GAResult(order=np.asarray(order[0]), ori=np.asarray(ori[0]),
-                    score=float(scores[0]), history=history)
+    o, r = strip(order[0], ori[0])
+    return GAResult(order=o, ori=r, score=float(scores[0]), history=history)
 
 
 def result_to_tour(res: GAResult, ctg_ids: np.ndarray, names: List[str]

@@ -1,0 +1,352 @@
+"""End-to-end pipeline driver: cluster → reassign → sort → build.
+
+The reference drives stages as subprocesses communicating through files
+and regexes the recommended inflation out of its own log
+(scripts/HapHiC_pipeline.py:349-532, design wart at :382-401). Here the
+pipeline is one in-memory dataflow — stage functions pass arrays and
+return values — while still writing every reference-format artifact
+(01.cluster/ … 04.build/, pickles, CLM, cluster/group/tour files, AGP)
+so users of the reference find the same on-disk contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from haphic_tpu.assign.reassign import (ReassignParams, ReassignResult,
+                                        reassign, split_clm_file,
+                                        write_group_files)
+from haphic_tpu.build.scaffolds import (build_final_scaffolds,
+                                        generate_juicebox_script,
+                                        parse_tours)
+from haphic_tpu.cluster import sweep as sweep_mod
+from haphic_tpu.core.contacts import LinkData, aggregate
+from haphic_tpu.core.filter import (FilterResult, filter_fragments,
+                                    normalize_by_nlinks)
+from haphic_tpu.core.fragments import Fragments, build_fragments
+from haphic_tpu.io.fasta import Assembly, read_fasta
+from haphic_tpu.io.links import (full_link_dict, ht_link_dict, write_clm,
+                                 write_pickle)
+from haphic_tpu.io.pairs import PairsReader, detect_format
+from haphic_tpu.order import optimize as opt
+from haphic_tpu.order.arbiter import choose_fast_sort
+from haphic_tpu.order.fast_sort import (fast_sort, make_group_data,
+                                        paths_to_tour, write_tour)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineConfig:
+    """Pipeline flags (named after the reference CLI,
+    scripts/HapHiC_pipeline.py:36-346)."""
+    # cluster
+    RE: str = 'GATC'
+    bin_size: int = -1                 # kbp; <0 auto, 0 disables
+    flank: int = 500                   # kbp
+    Nx: int = 80
+    RE_site_cutoff: int = 25
+    density_lower: str = '0.2X'
+    density_upper: str = '1.9X'
+    topN: int = 10
+    rank_sum_upper: str = '1.5X'
+    rank_sum_hard_cutoff: int = 0
+    read_depth_upper: str = '1.5X'
+    remove_allelic_links: int = 0
+    concordance_ratio_cutoff: float = 0.2
+    nwindows: int = 50
+    max_read_pairs: int = 200
+    min_read_pairs: int = 20
+    phasing_weight: float = 1.0
+    normalize_by_nlinks: bool = False
+    min_inflation: float = 1.1
+    max_inflation: float = 3.0
+    inflation_step: float = 0.1
+    max_iter: int = 200
+    pruning: float = 1e-4
+    expansion: int = 2
+    whitelist: Optional[str] = None
+    quick_view: bool = False
+    gfa: Optional[str] = None
+    # reassign
+    reassign: ReassignParams = field(default_factory=ReassignParams)
+    # sort
+    skip_fast_sort: bool = False
+    skip_allhic: bool = False
+    skipGA: bool = False
+    mutprob: float = 0.2
+    ngen: int = 5000
+    npop: int = 100
+    seed: int = 42
+    flanking_region: int = 0
+    density_cal_method: str = 'multiplication'
+    confidence_cutoff: float = 1.0
+    # build
+    Ns: int = 100
+    max_width: int = 60
+    sort_by_input: bool = False
+    prefix: str = 'scaffolds'
+    # misc
+    processes: int = 8
+    steps: str = '1234'
+
+
+@dataclass
+class ClusterStageResult:
+    asm: Assembly
+    frags: Fragments
+    links: LinkData
+    filtered: FilterResult
+    sweep: sweep_mod.SweepResult
+    clm_path: str
+
+
+def cluster_stage(fasta: str, alignments: str, nchrs: int,
+                  cfg: PipelineConfig, outdir: str) -> ClusterStageResult:
+    """01.cluster (parity: HapHiC_cluster.run,
+    scripts/HapHiC_cluster.py:2738-2959)."""
+    os.makedirs(outdir, exist_ok=True)
+    t0 = time.time()
+    asm = read_fasta(fasta, RE=cfg.RE)
+    logger.info('Parsed FASTA: %d contigs, %.1f Mb', len(asm),
+                asm.total_len / 1e6)
+
+    whitelist: Set[str] = set()
+    if cfg.whitelist:
+        with open(cfg.whitelist) as f:
+            whitelist = {l.split()[0] for l in f if l.strip()}
+
+    read_depth = None
+    hap_of = None
+    if cfg.gfa:
+        from haphic_tpu.io.gfa import depth_arrays, read_gfas
+        depth = read_gfas(cfg.gfa.split(','), asm)
+        hap_of, read_depth = depth_arrays(depth, asm.names)
+
+    bin_size_kbp = 0 if cfg.quick_view else cfg.bin_size
+    Nx = 100 if cfg.quick_view else cfg.Nx
+    frags = build_fragments(asm, RE=cfg.RE, nchrs=max(nchrs, 1),
+                            flank_kbp=cfg.flank, Nx=Nx,
+                            bin_size_kbp=bin_size_kbp, whitelist=whitelist)
+    logger.info('Fragment table: %d fragments (bin size %d bp)',
+                len(frags), frags.bin_size)
+
+    fmt = detect_format(alignments)
+    if fmt in ('pairs', 'bgzipped_pairs'):
+        reader = PairsReader(alignments, asm.names)
+    else:
+        from haphic_tpu.io.bam import BamReader
+        reader = BamReader(alignments, asm.names)
+    links = aggregate(reader, frags, flank_kbp=cfg.flank,
+                      need_coords=bool(cfg.remove_allelic_links),
+                      max_read_pairs=cfg.max_read_pairs)
+    logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
+                'fragment pairs)', time.time() - t0, len(links.full.i),
+                len(links.flank.i))
+
+    # reference-format artifacts
+    write_pickle(ht_link_dict(links, asm.names),
+                 os.path.join(outdir, 'HT_links.pkl'))
+    clm_path = os.path.join(outdir, 'paired_links.clm')
+    write_clm(links.clm, asm.names, clm_path,
+              min_read_pairs=2)
+
+    flank = links.flank
+    if cfg.remove_allelic_links:
+        from haphic_tpu.core.prune import remove_allelic_links
+        flank, links.full = remove_allelic_links(
+            asm, links, cfg.remove_allelic_links,
+            concordance_ratio_cutoff=cfg.concordance_ratio_cutoff,
+            nwindows=cfg.nwindows, min_read_pairs=cfg.min_read_pairs)
+    if cfg.gfa and cfg.phasing_weight > 0 and hap_of is not None:
+        from haphic_tpu.core.prune import reduce_inter_hap_links
+        flank = reduce_inter_hap_links(flank, frags, hap_of,
+                                       cfg.phasing_weight)
+    write_pickle(full_link_dict(links, asm.names),
+                 os.path.join(outdir, 'full_links.pkl'))
+
+    if cfg.normalize_by_nlinks:
+        flank = normalize_by_nlinks(flank,
+                                    links.frag_links.astype(np.float64))
+
+    filtered = filter_fragments(
+        frags, flank, links.frag_links,
+        RE_site_cutoff=cfg.RE_site_cutoff,
+        density_lower=cfg.density_lower, density_upper=cfg.density_upper,
+        topN=cfg.topN, rank_sum_upper=cfg.rank_sum_upper,
+        rank_sum_hard_cutoff=cfg.rank_sum_hard_cutoff,
+        read_depth_upper=cfg.read_depth_upper,
+        read_depth=read_depth, whitelist=whitelist)
+
+    sweep = sweep_mod.run_clustering(
+        flank, filtered.kept_ids, frags, nchrs,
+        expansion=cfg.expansion, min_inflation=cfg.min_inflation,
+        max_inflation=cfg.max_inflation, inflation_step=cfg.inflation_step,
+        max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir)
+    logger.info('Clustering stage finished in %.1fs', time.time() - t0)
+    return ClusterStageResult(asm=asm, frags=frags, links=links,
+                              filtered=filtered, sweep=sweep,
+                              clm_path=clm_path)
+
+
+def reassign_stage(cres: ClusterStageResult, nchrs: int,
+                   cfg: PipelineConfig, outdir: str,
+                   inflation: Optional[Decimal] = None) -> ReassignResult:
+    """02.reassign (parity: HapHiC_reassign.run)."""
+    os.makedirs(outdir, exist_ok=True)
+    asm = cres.asm
+    inflation = inflation or cres.sweep.recommended_inflation
+    if inflation is None:
+        raise RuntimeError(
+            'No inflation could be recommended; rerun with different '
+            'parameters or pick one explicitly')
+    cs = next(c for c in cres.sweep.cluster_sets if c.inflation == inflation)
+    initial = [[asm.name2id[c] for c in ctgs] for ctgs, _ in cs.clusters]
+
+    p = cfg.reassign
+    if p.nclusters == 0:
+        p.nclusters = nchrs
+    p.gfa = bool(cfg.gfa)
+    res = reassign(asm, cres.links.full, initial, params=p)
+
+    sub = 'hc_groups' if res.hc_applied else 'reassigned_groups'
+    prefix = 'hc' if res.hc_applied else 'reassigned'
+    write_group_files(res.groups, asm, os.path.join(outdir, sub),
+                      prefix=prefix)
+    final_dir = os.path.join(outdir, 'final_groups')
+    os.makedirs(final_dir, exist_ok=True)
+    for gname, members in zip(res.groups.names, res.groups.members):
+        src = os.path.join('..', sub, '{}_{}.txt'.format(prefix, gname))
+        dst = os.path.join(final_dir, '{}.txt'.format(gname))
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    csrc = os.path.join('..', sub, '{}_clusters.txt'.format(prefix))
+    cdst = os.path.join(final_dir, 'final_clusters.txt')
+    if not os.path.exists(cdst):
+        os.symlink(csrc, cdst)
+    split_clm_file(cres.clm_path, res.groups, asm,
+                   os.path.join(outdir, 'split_clms'))
+    return res
+
+
+@dataclass
+class SortStageResult:
+    tours: Dict[str, List[Tuple[str, str]]]   # group -> final tour
+    tour_dir: str
+
+
+def sort_stage(cres: ClusterStageResult, groups: 'ReassignResult',
+               cfg: PipelineConfig, outdir: str) -> SortStageResult:
+    """03.sort: per group fast sort + GA optimization + arbiter
+    (parity: HapHiC_sort.run / run_haphic_sorting,
+    scripts/HapHiC_sort.py:727-959)."""
+    os.makedirs(outdir, exist_ok=True)
+    final_dir = os.path.join(outdir, 'final_tours')
+    os.makedirs(final_dir, exist_ok=True)
+    asm = cres.asm
+    g = groups.groups
+    clm = cres.links.clm
+    lengths = {c: int(l) for c, l in zip(asm.names, asm.lengths)}
+    tours: Dict[str, List[Tuple[str, str]]] = {}
+
+    for gname, members in zip(g.names, g.members):
+        t0 = time.time()
+        gd = make_group_data(members, asm.lengths, cres.links.ht)
+        fast_tour = None
+        hot = None
+        if not cfg.skip_fast_sort and len(members) > 0:
+            paths = fast_sort(gd, confidence_cutoff=cfg.confidence_cutoff,
+                              density_cal_method=cfg.density_cal_method,
+                              flanking_region_kbp=cfg.flanking_region,
+                              log_prefix=gname)
+            fast_tour = paths_to_tour(paths, gd.ctg_ids, asm.names)
+            write_tour(os.path.join(outdir, '{}.tour.sav'.format(gname)),
+                       fast_tour)
+            # hot start for the GA: local order/orientation
+            local_of = {int(c): i for i, c in enumerate(gd.ctg_ids)}
+            hot_order = np.asarray([local_of[asm.name2id[c]]
+                                    for c, _ in fast_tour], np.int32)
+            hot_ori = np.asarray([1 if o == '-' else 0
+                                  for _, o in fast_tour], np.int32)
+            hot = (hot_order, hot_ori)
+
+        final = fast_tour
+        if not cfg.skip_allhic and len(members) > 1:
+            problem = opt.build_problem(gd.ctg_ids, asm.lengths,
+                                        clm.pair_i, clm.pair_j, clm.d)
+            res = opt.optimize_tour(problem, npop=cfg.npop, ngen=cfg.ngen,
+                                    mutprob=cfg.mutprob, seed=cfg.seed,
+                                    hot_start=hot, skip_ga=cfg.skipGA)
+            ga_tour = opt.result_to_tour(res, gd.ctg_ids, asm.names)
+            opt.write_ga_tour(os.path.join(outdir, '{}.tour'.format(gname)),
+                              res, ga_tour, init_tour=fast_tour)
+            if fast_tour is not None and choose_fast_sort(
+                    fast_tour, ga_tour, lengths):
+                final = fast_tour
+            else:
+                final = ga_tour
+        elif fast_tour is not None:
+            write_tour(os.path.join(outdir, '{}.tour'.format(gname)),
+                       fast_tour)
+        if final is None:
+            final = [(asm.names[c], '+') for c in members]
+        tours[gname] = final
+        write_tour(os.path.join(final_dir, '{}.tour'.format(gname)), final)
+        logger.info('[%s] sorted %d contigs in %.1fs', gname, len(members),
+                    time.time() - t0)
+    return SortStageResult(tours=tours, tour_dir=final_dir)
+
+
+def build_stage(cres: ClusterStageResult, sres: SortStageResult,
+                cfg: PipelineConfig, outdir: str, fasta: str,
+                alignments: str) -> Tuple[str, str, str]:
+    """04.build (parity: HapHiC_build.run)."""
+    os.makedirs(outdir, exist_ok=True)
+    asm = cres.asm
+    if asm.seqs is None:
+        asm = read_fasta(fasta, RE=cfg.RE)
+    fa, agp, raw = build_final_scaffolds(
+        sres.tours, asm, corrected_ctgs=set(), prefix=cfg.prefix,
+        Ns=cfg.Ns, max_width=cfg.max_width,
+        sort_by_input=cfg.sort_by_input, outdir=outdir)
+    generate_juicebox_script(fasta, alignments, prefix=cfg.prefix,
+                             outdir=outdir)
+    return fa, agp, raw
+
+
+@dataclass
+class PipelineResult:
+    cluster: ClusterStageResult
+    reassign: Optional[ReassignResult]
+    sort: Optional[SortStageResult]
+    scaffold_files: Optional[Tuple[str, str, str]]
+
+
+def run_pipeline(fasta: str, alignments: str, nchrs: int,
+                 cfg: Optional[PipelineConfig] = None,
+                 outdir: str = '.') -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    os.makedirs(outdir, exist_ok=True)
+    t0 = time.time()
+    cres = cluster_stage(fasta, alignments, nchrs, cfg,
+                         os.path.join(outdir, '01.cluster'))
+    rres = sres = files = None
+    if '2' in cfg.steps:
+        rres = reassign_stage(cres, nchrs, cfg,
+                              os.path.join(outdir, '02.reassign'))
+    if '3' in cfg.steps and rres is not None:
+        sres = sort_stage(cres, rres, cfg, os.path.join(outdir, '03.sort'))
+    if '4' in cfg.steps and sres is not None:
+        files = build_stage(cres, sres, cfg,
+                            os.path.join(outdir, '04.build'),
+                            fasta, alignments)
+    logger.info('Pipeline finished in %.1fs', time.time() - t0)
+    return PipelineResult(cluster=cres, reassign=rres, sort=sres,
+                          scaffold_files=files)
