@@ -32,6 +32,7 @@ def _add_cluster_args(p: argparse.ArgumentParser) -> None:
     g.add_argument('--read_depth_upper', default='1.5X')
     g.add_argument('--remove_allelic_links', type=int, default=0,
                    help='ploidy; 0 disables allelic link removal')
+    g.add_argument('--remove_concentrated_links', action='store_true')
     g.add_argument('--concordance_ratio_cutoff', type=float, default=0.2)
     g.add_argument('--nwindows', type=int, default=50)
     g.add_argument('--max_read_pairs', type=int, default=200)

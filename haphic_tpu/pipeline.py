@@ -60,6 +60,7 @@ class PipelineConfig:
     rank_sum_hard_cutoff: int = 0
     read_depth_upper: str = '1.5X'
     remove_allelic_links: int = 0
+    remove_concentrated_links: bool = False
     concordance_ratio_cutoff: float = 0.2
     nwindows: int = 50
     max_read_pairs: int = 200
@@ -144,9 +145,13 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     else:
         from haphic_tpu.io.bam import BamReader
         reader = BamReader(alignments, asm.names)
+    need_coords = bool(cfg.remove_allelic_links) or \
+        cfg.remove_concentrated_links
     links = aggregate(reader, frags, flank_kbp=cfg.flank,
-                      need_coords=bool(cfg.remove_allelic_links),
-                      max_read_pairs=cfg.max_read_pairs)
+                      need_coords=need_coords,
+                      max_read_pairs=cfg.max_read_pairs,
+                      track_ctg_pair_to_frag=bool(cfg.remove_allelic_links)
+                      and frags.any_split)
     logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
                 'fragment pairs)', time.time() - t0, len(links.full.i),
                 len(links.flank.i))
@@ -158,23 +163,17 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     write_clm(links.clm, asm.names, clm_path,
               min_read_pairs=2)
 
+    # ---- ordering parity with run() (scripts/HapHiC_cluster.py:2890-2935):
+    # normalize → concentrated → filter → allelic → phasing → pickle
     flank = links.flank
-    if cfg.remove_allelic_links:
-        from haphic_tpu.core.prune import remove_allelic_links
-        flank, links.full = remove_allelic_links(
-            asm, links, cfg.remove_allelic_links,
-            concordance_ratio_cutoff=cfg.concordance_ratio_cutoff,
-            nwindows=cfg.nwindows, min_read_pairs=cfg.min_read_pairs)
-    if cfg.gfa and cfg.phasing_weight > 0 and hap_of is not None:
-        from haphic_tpu.core.prune import reduce_inter_hap_links
-        flank = reduce_inter_hap_links(flank, frags, hap_of,
-                                       cfg.phasing_weight)
-    write_pickle(full_link_dict(links, asm.names),
-                 os.path.join(outdir, 'full_links.pkl'))
-
+    full = links.full
     if cfg.normalize_by_nlinks:
         flank = normalize_by_nlinks(flank,
                                     links.frag_links.astype(np.float64))
+    if cfg.remove_concentrated_links:
+        from haphic_tpu.core.prune import apply_concentration_adjustment
+        full = apply_concentration_adjustment(full, links.coords,
+                                              cfg.max_read_pairs)
 
     filtered = filter_fragments(
         frags, flank, links.frag_links,
@@ -184,9 +183,32 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         rank_sum_hard_cutoff=cfg.rank_sum_hard_cutoff,
         read_depth_upper=cfg.read_depth_upper,
         read_depth=read_depth, whitelist=whitelist)
+    kept_ids = filtered.kept_ids
+
+    if cfg.remove_allelic_links:
+        from haphic_tpu.core.prune import remove_allelic_links
+        ares = remove_allelic_links(
+            asm, frags, full, flank, links.coords, kept_ids,
+            cfg.remove_allelic_links,
+            concordance_ratio_cutoff=cfg.concordance_ratio_cutoff,
+            nwindows=cfg.nwindows, min_read_pairs=cfg.min_read_pairs,
+            max_read_pairs=cfg.max_read_pairs,
+            ctg_pair_to_frag=links.ctg_pair_to_frag)
+        full, flank, kept_ids = ares.full, ares.flank, ares.filtered_ids
+
+    if cfg.gfa and cfg.phasing_weight > 0 and hap_of is not None:
+        from haphic_tpu.core.prune import (reduce_inter_hap_links_ctg,
+                                           reduce_inter_hap_links_frag)
+        flank = reduce_inter_hap_links_frag(flank, frags, hap_of,
+                                            cfg.phasing_weight)
+        full = reduce_inter_hap_links_ctg(full, hap_of, cfg.phasing_weight)
+
+    links.full = full
+    write_pickle(full_link_dict(links, asm.names),
+                 os.path.join(outdir, 'full_links.pkl'))
 
     sweep = sweep_mod.run_clustering(
-        flank, filtered.kept_ids, frags, nchrs,
+        flank, kept_ids, frags, nchrs,
         expansion=cfg.expansion, min_inflation=cfg.min_inflation,
         max_inflation=cfg.max_inflation, inflation_step=cfg.inflation_step,
         max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir)
