@@ -56,6 +56,24 @@ class _Interval:
             result.extend(pieces)
         return _Interval(result)
 
+    def __and__(self, other):
+        out = []
+        for lo, hi in self.spans:
+            for olo, ohi in other.spans:
+                nlo, nhi = max(lo, olo), min(hi, ohi)
+                if nlo <= nhi:
+                    out.append((nlo, nhi))
+        return _Interval(out)
+
+    def __contains__(self, x):
+        return any(lo <= x <= hi for lo, hi in self.spans)
+
+    def __eq__(self, other):
+        return isinstance(other, _Interval) and self.spans == other.spans
+
+    def __hash__(self):
+        return hash(tuple(self.spans))
+
     def __len__(self):
         return len(self.spans)
 
