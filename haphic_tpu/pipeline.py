@@ -59,6 +59,11 @@ class PipelineConfig:
     rank_sum_upper: str = '1.5X'
     rank_sum_hard_cutoff: int = 0
     read_depth_upper: str = '1.5X'
+    correct_nrounds: int = 0
+    correct_resolution: int = 500
+    median_cov_ratio: float = 0.2
+    region_len_ratio: float = 0.1
+    min_region_cutoff: int = 5000
     remove_allelic_links: int = 0
     remove_concentrated_links: bool = False
     concordance_ratio_cutoff: float = 0.2
@@ -107,6 +112,7 @@ class ClusterStageResult:
     filtered: FilterResult
     sweep: sweep_mod.SweepResult
     clm_path: str
+    corrected_ctgs: List[str] = field(default_factory=list)
 
 
 def cluster_stage(fasta: str, alignments: str, nchrs: int,
@@ -131,6 +137,32 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         depth = read_gfas(cfg.gfa.split(','), asm)
         hap_of, read_depth = depth_arrays(depth, asm.names)
 
+    # assembly correction: extra alignment pass over the original
+    # contigs, then all later passes run against the broken fragments
+    fmt = detect_format(alignments)
+
+    def make_reader(names):
+        if fmt in ('pairs', 'bgzipped_pairs'):
+            return PairsReader(alignments, names)
+        from haphic_tpu.io.bam import BamReader
+        return BamReader(alignments, names)
+
+    corrected_ctgs: List[str] = []
+    remapper = None
+    if cfg.correct_nrounds:
+        from haphic_tpu.core.correct import correct_assembly
+        cres = correct_assembly(
+            asm, make_reader(asm.names), outdir,
+            correct_nrounds=cfg.correct_nrounds,
+            correct_resolution=cfg.correct_resolution,
+            median_cov_ratio=cfg.median_cov_ratio,
+            min_region_cutoff=cfg.min_region_cutoff,
+            region_len_ratio=cfg.region_len_ratio, RE=cfg.RE)
+        corrected_ctgs = cres.corrected_names
+        if cres.n_broken:
+            remapper = cres.remapper
+            asm = cres.asm
+
     bin_size_kbp = 0 if cfg.quick_view else cfg.bin_size
     Nx = 100 if cfg.quick_view else cfg.Nx
     frags = build_fragments(asm, RE=cfg.RE, nchrs=max(nchrs, 1),
@@ -139,12 +171,11 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     logger.info('Fragment table: %d fragments (bin size %d bp)',
                 len(frags), frags.bin_size)
 
-    fmt = detect_format(alignments)
-    if fmt in ('pairs', 'bgzipped_pairs'):
-        reader = PairsReader(alignments, asm.names)
+    if remapper is not None:
+        base_reader = make_reader(remapper.old_names)
+        reader = (remapper.remap(c) for c in base_reader)
     else:
-        from haphic_tpu.io.bam import BamReader
-        reader = BamReader(alignments, asm.names)
+        reader = make_reader(asm.names)
     need_coords = bool(cfg.remove_allelic_links) or \
         cfg.remove_concentrated_links
     links = aggregate(reader, frags, flank_kbp=cfg.flank,
@@ -215,7 +246,8 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     logger.info('Clustering stage finished in %.1fs', time.time() - t0)
     return ClusterStageResult(asm=asm, frags=frags, links=links,
                               filtered=filtered, sweep=sweep,
-                              clm_path=clm_path)
+                              clm_path=clm_path,
+                              corrected_ctgs=corrected_ctgs)
 
 
 def reassign_stage(cres: ClusterStageResult, nchrs: int,
@@ -335,7 +367,8 @@ def build_stage(cres: ClusterStageResult, sres: SortStageResult,
     if asm.seqs is None:
         asm = read_fasta(fasta, RE=cfg.RE)
     fa, agp, raw = build_final_scaffolds(
-        sres.tours, asm, corrected_ctgs=set(), prefix=cfg.prefix,
+        sres.tours, asm, corrected_ctgs=set(cres.corrected_ctgs),
+        prefix=cfg.prefix,
         Ns=cfg.Ns, max_width=cfg.max_width,
         sort_by_input=cfg.sort_by_input, outdir=outdir)
     generate_juicebox_script(fasta, alignments, prefix=cfg.prefix,
