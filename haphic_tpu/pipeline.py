@@ -79,6 +79,7 @@ class PipelineConfig:
     pruning: float = 1e-4
     expansion: int = 2
     whitelist: Optional[str] = None
+    output_statistics: bool = True
     quick_view: bool = False
     gfa: Optional[str] = None
     # reassign
@@ -243,6 +244,9 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         expansion=cfg.expansion, min_inflation=cfg.min_inflation,
         max_inflation=cfg.max_inflation, inflation_step=cfg.inflation_step,
         max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir)
+    if cfg.output_statistics:
+        from haphic_tpu.cluster.statistics import output_statistics
+        output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
     logger.info('Clustering stage finished in %.1fs', time.time() - t0)
     return ClusterStageResult(asm=asm, frags=frags, links=links,
                               filtered=filtered, sweep=sweep,
