@@ -47,6 +47,19 @@ def _add_cluster_args(p: argparse.ArgumentParser) -> None:
     g.add_argument('--whitelist', default=None)
     g.add_argument('--gfa', default=None)
     g.add_argument('--quick_view', action='store_true')
+    g.add_argument('--correct_nrounds', type=int, default=0)
+    g.add_argument('--correct_resolution', type=int, default=500)
+    g.add_argument('--median_cov_ratio', type=float, default=0.2)
+    g.add_argument('--region_len_ratio', type=float, default=0.1)
+    g.add_argument('--min_region_cutoff', type=int, default=5000)
+    g.add_argument('--ul', default=None,
+                   help='ultra-long read alignments (BAM)')
+    g.add_argument('--min_ul_mapq', type=int, default=30)
+    g.add_argument('--min_ul_alignment_length', type=int, default=10000)
+    g.add_argument('--max_distance_to_end', type=int, default=100)
+    g.add_argument('--max_overlap_ratio', type=float, default=0.5)
+    g.add_argument('--max_gap_len', type=int, default=10000)
+    g.add_argument('--min_ul_support', type=int, default=2)
 
 
 def _add_reassign_args(p: argparse.ArgumentParser) -> None:

@@ -149,6 +149,32 @@ class _PyBam:
         self._off += n
         return out
 
+    def detail_records(self):
+        """Yield full records for CIGAR-aware consumers (UL reads):
+        (qname, flag, refid, pos0, mapq, cigartuples, aux_bytes)."""
+        while True:
+            try:
+                block_size = struct.unpack('<I', self._read(4))[0]
+            except EOFError:
+                return
+            rec = self._read(block_size)
+            refid, p = struct.unpack_from('<ii', rec, 0)
+            l_read_name = rec[8]
+            q = rec[9]
+            n_cigar = struct.unpack_from('<H', rec, 12)[0]
+            fl = struct.unpack_from('<H', rec, 14)[0]
+            l_seq = struct.unpack_from('<I', rec, 16)[0]
+            off = 32
+            qname = rec[off:off + l_read_name - 1].decode()
+            off += l_read_name
+            cig = []
+            for _ in range(n_cigar):
+                v = struct.unpack_from('<I', rec, off)[0]
+                cig.append((v & 0xf, v >> 4))
+                off += 4
+            off += (l_seq + 1) // 2 + l_seq
+            yield qname, fl, refid, p, q, cig, rec[off:]
+
     def records(self, chunk_records: int):
         ref, pos, mref, mpos, flag, mapq = [], [], [], [], [], []
         while True:
@@ -176,6 +202,41 @@ class _PyBam:
             yield (np.asarray(ref, np.int32), np.asarray(pos, np.int64),
                    np.asarray(mref, np.int32), np.asarray(mpos, np.int64),
                    np.asarray(flag, np.uint16), np.asarray(mapq, np.uint8))
+
+
+def find_int_tag(aux: bytes, tag: bytes) -> Optional[int]:
+    """Scan an aux blob for an integer-typed tag (e.g. b'AS', b'NM')."""
+    p = 0
+    n = len(aux)
+    sizes = {ord('A'): 1, ord('c'): 1, ord('C'): 1, ord('s'): 2,
+             ord('S'): 2, ord('i'): 4, ord('I'): 4, ord('f'): 4}
+    fmts = {ord('c'): '<b', ord('C'): '<B', ord('s'): '<h',
+            ord('S'): '<H', ord('i'): '<i', ord('I'): '<I'}
+    while p + 3 <= n:
+        t = aux[p:p + 2]
+        typ = aux[p + 2]
+        p += 3
+        if typ in sizes:
+            if t == tag and typ in fmts:
+                return struct.unpack_from(fmts[typ], aux, p)[0]
+            p += sizes[typ]
+        elif typ in (ord('Z'), ord('H')):
+            q = aux.index(b'\x00', p)
+            p = q + 1
+        elif typ == ord('B'):
+            sub = aux[p]
+            cnt = struct.unpack_from('<I', aux, p + 1)[0]
+            esz = {ord('c'): 1, ord('C'): 1, ord('s'): 2, ord('S'): 2,
+                   ord('i'): 4, ord('I'): 4, ord('f'): 4}[sub]
+            p += 5 + esz * cnt
+        else:
+            return None
+    return None
+
+
+def open_detail_bam(path: str) -> '_PyBam':
+    """Open a BAM for record-level (CIGAR-aware) iteration."""
+    return _PyBam(path)
 
 
 class BamReader:

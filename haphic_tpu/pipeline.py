@@ -81,6 +81,13 @@ class PipelineConfig:
     whitelist: Optional[str] = None
     output_statistics: bool = True
     quick_view: bool = False
+    ul: Optional[str] = None
+    min_ul_mapq: int = 30
+    min_ul_alignment_length: int = 10000
+    max_distance_to_end: int = 100
+    max_overlap_ratio: float = 0.5
+    max_gap_len: int = 10000
+    min_ul_support: int = 2
     gfa: Optional[str] = None
     # reassign
     reassign: ReassignParams = field(default_factory=ReassignParams)
@@ -164,6 +171,19 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
             remapper = cres.remapper
             asm = cres.asm
 
+    ul_paths: List = []
+    if cfg.ul:
+        from haphic_tpu.core.ul import parse_ul_alignments, path_ctg_set
+        ul_paths = parse_ul_alignments(
+            cfg.ul, asm.names, asm.lengths,
+            min_ul_mapq=cfg.min_ul_mapq,
+            min_ul_alignment_length=cfg.min_ul_alignment_length,
+            max_distance_to_end=cfg.max_distance_to_end,
+            max_overlap_ratio=cfg.max_overlap_ratio,
+            max_gap_len=cfg.max_gap_len,
+            min_ul_support=cfg.min_ul_support)
+        whitelist |= {asm.names[c] for c in path_ctg_set(ul_paths)}
+
     bin_size_kbp = 0 if cfg.quick_view else cfg.bin_size
     Nx = 100 if cfg.quick_view else cfg.Nx
     frags = build_fragments(asm, RE=cfg.RE, nchrs=max(nchrs, 1),
@@ -187,6 +207,10 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
                 'fragment pairs)', time.time() - t0, len(links.full.i),
                 len(links.flank.i))
+
+    if ul_paths:
+        from haphic_tpu.core.ul import boost_ht_links
+        links.ht = boost_ht_links(ul_paths, links.ht, len(asm))
 
     # reference-format artifacts
     write_pickle(ht_link_dict(links, asm.names),
@@ -227,6 +251,10 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
             max_read_pairs=cfg.max_read_pairs,
             ctg_pair_to_frag=links.ctg_pair_to_frag)
         full, flank, kept_ids = ares.full, ares.flank, ares.filtered_ids
+
+    if ul_paths:
+        from haphic_tpu.core.ul import boost_flank_and_full
+        flank, full = boost_flank_and_full(ul_paths, flank, full, frags)
 
     if cfg.gfa and cfg.phasing_weight > 0 and hap_of is not None:
         from haphic_tpu.core.prune import (reduce_inter_hap_links_ctg,

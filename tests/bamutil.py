@@ -21,14 +21,26 @@ BGZF_EOF = bytes.fromhex(
     '1f8b08040000000000ff0600424302001b0003000000000000000000')
 
 
+CIGAR_OPS = 'MIDNSHP=X'
+
+
 def bam_record(refid, pos, mrefid, mpos, flag, mapq=60, name=b'r',
-               nm=None, tlen=0):
+               nm=None, tlen=0, cigar=None, tags=None):
+    """cigar: [(op_char, length)]; tags: [(b'AS', int)]."""
     aux = b''
     if nm is not None:
-        aux = b'NM' + b'i' + struct.pack('<i', nm)
+        aux += b'NM' + b'i' + struct.pack('<i', nm)
+    for t, v in (tags or []):
+        aux += t + b'i' + struct.pack('<i', v)
+    cig = b''
+    n_cigar = 0
+    if cigar:
+        for op, ln in cigar:
+            cig += struct.pack('<I', (ln << 4) | CIGAR_OPS.index(op))
+            n_cigar += 1
     body = struct.pack('<iiBBHHHIiii', refid, pos, len(name) + 1, mapq,
-                       0, 0, flag, 0, mrefid, mpos, tlen)
-    body += name + b'\x00' + aux
+                       0, n_cigar, flag, 0, mrefid, mpos, tlen)
+    body += name + b'\x00' + cig + aux
     return struct.pack('<I', len(body)) + body
 
 
