@@ -159,12 +159,12 @@ def generate_juicebox_script(raw_fasta: str, alignments: str,
                              juicer_bin: Optional[str] = None,
                              juicer_tools_jar: Optional[str] = None) -> str:
     """Write juicebox.sh (parity: scripts/HapHiC_build.py:182-200)."""
-    if juicer_bin is None or juicer_tools_jar is None:
-        utils_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 '..', '..', 'native')
-        juicer_bin = juicer_bin or os.path.join(utils_dir, 'juicer')
-        juicer_tools_jar = juicer_tools_jar or os.path.join(
-            utils_dir, 'juicer_tools.jar')
+    if juicer_bin is None:
+        # our juicer pre/post equivalent (haphic_tpu.post.juicer)
+        juicer_bin = 'python3 -m haphic_tpu juicer'
+    if juicer_tools_jar is None:
+        # third-party jar, external even for the reference (SURVEY §2 #32)
+        juicer_tools_jar = 'juicer_tools.jar'
     raw_basename = os.path.basename(raw_fasta)
     path = os.path.join(outdir, 'juicebox.sh')
     with open(path, 'w') as f:

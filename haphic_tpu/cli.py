@@ -144,6 +144,24 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument('--outdir', default='.')
     _add_cluster_args(pc)
 
+    pr2 = sub.add_parser('reassign',
+                         help='rescue/reassign contigs from clusters')
+    pr2.add_argument('fasta')
+    pr2.add_argument('links', help='full_links.pkl or .pairs[.gz]/.bam')
+    pr2.add_argument('clusters', help='*.clusters.txt or Juicebox .assembly')
+    pr2.add_argument('clm', help='paired_links.clm')
+    pr2.add_argument('--outdir', default='.')
+    pr2.add_argument('--RE', default='GATC')
+    _add_reassign_args(pr2)
+
+    ps = sub.add_parser('sort', help='order and orient contigs per group')
+    ps.add_argument('fasta')
+    ps.add_argument('HT_links', help='HT_links.pkl')
+    ps.add_argument('clm_dir', help='directory with split per-group .clm')
+    ps.add_argument('groups', nargs='+', help='group*.txt files')
+    ps.add_argument('--outdir', default='.')
+    _add_sort_args(ps)
+
     pb = sub.add_parser('build', help='build scaffolds from tour files')
     pb.add_argument('fasta')
     pb.add_argument('raw_fasta')
@@ -168,6 +186,26 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument('agp')
     pr.add_argument('paf')
     pr.add_argument('--fasta', default=None)
+
+    pj = sub.add_parser('juicer',
+                        help='Juicebox curation round-trip (pre/post)')
+    pjsub = pj.add_subparsers(dest='juicer_cmd', required=True)
+    pre = pjsub.add_parser('pre')
+    pre.add_argument('alignments', help='.bam or .pairs[.gz]')
+    pre.add_argument('agp', help='scaffolds.raw.agp')
+    pre.add_argument('fai', nargs='?', default=None,
+                     help='contigs .fai (accepted for CLI compatibility)')
+    pre.add_argument('-a', '--assembly_mode', action='store_true',
+                     default=True)
+    pre.add_argument('-q', '--mapq', type=int, default=1)
+    pre.add_argument('-o', '--out_prefix', default='out_JBAT')
+    pre.add_argument('--outdir', default='.')
+    post = pjsub.add_parser('post')
+    post.add_argument('review_assembly')
+    post.add_argument('liftover_agp')
+    post.add_argument('contigs_fasta', nargs='?', default=None)
+    post.add_argument('-o', '--out_prefix', default='out_JBAT.FINAL')
+    post.add_argument('--outdir', default='.')
     return parser
 
 
@@ -184,6 +222,156 @@ def cmd_cluster(args) -> int:
     from haphic_tpu.pipeline import cluster_stage
     cfg = _config_from_args(args)
     cluster_stage(args.fasta, args.alignments, args.nchrs, cfg, args.outdir)
+    return 0
+
+
+def cmd_reassign(args) -> int:
+    import os
+
+    import numpy as np
+
+    from haphic_tpu.assign.reassign import (ReassignParams, reassign,
+                                            split_clm_file,
+                                            write_group_files)
+    from haphic_tpu.io.artifacts import (load_link_pickle,
+                                         parse_assembly_file,
+                                         parse_clusters_file)
+    from haphic_tpu.io.fasta import read_fasta
+
+    if not args.links.endswith(('.pkl', '.pairs', '.pairs.gz', '.bam')):
+        raise RuntimeError('The "links" argument should end with .bam, '
+                           '.pkl, .pairs, or .pairs.gz')
+    asm = read_fasta(args.fasta, RE=args.RE, keep_seqs=False)
+    if args.links.endswith('.pkl'):
+        full = load_link_pickle(args.links, asm.name2id)
+    else:
+        from haphic_tpu.core.contacts import aggregate
+        from haphic_tpu.core.fragments import build_fragments
+        from haphic_tpu.io.pairs import PairsReader
+        frags = build_fragments(asm, RE=args.RE, bin_size_kbp=0)
+        if args.links.endswith('.bam'):
+            from haphic_tpu.io.bam import BamReader
+            reader = BamReader(args.links, asm.names)
+        else:
+            reader = PairsReader(args.links, asm.names)
+        full = aggregate(reader, frags, keep_clm=False).full
+    if args.clusters.endswith('.clusters.txt'):
+        clusters = parse_clusters_file(args.clusters)
+    elif args.clusters.endswith('.assembly'):
+        clusters = parse_assembly_file(args.clusters)
+    else:
+        raise RuntimeError('The "clusters" argument should end with '
+                           '.clusters.txt or .assembly')
+    initial = [[asm.name2id[c] for c in ctgs if c in asm.name2id]
+               for _, ctgs in clusters]
+    p = ReassignParams(
+        min_group_len=args.min_group_len, max_ctg_len=args.max_ctg_len,
+        min_RE_sites=args.min_RE_sites, min_links=args.min_links,
+        min_link_density=args.min_link_density,
+        min_density_ratio=args.min_density_ratio,
+        ambiguous_cutoff=args.ambiguous_cutoff,
+        reassign_nrounds=args.reassign_nrounds,
+        nclusters=args.nclusters,
+        no_additional_rescue=args.no_additional_rescue)
+    res = reassign(asm, full, initial, params=p)
+    sub = 'hc_groups' if res.hc_applied else 'reassigned_groups'
+    prefix = 'hc' if res.hc_applied else 'reassigned'
+    write_group_files(res.groups, asm, os.path.join(args.outdir, sub),
+                      prefix=prefix)
+    final_dir = os.path.join(args.outdir, 'final_groups')
+    os.makedirs(final_dir, exist_ok=True)
+    for gname in res.groups.names:
+        dst = os.path.join(final_dir, '{}.txt'.format(gname))
+        if not os.path.exists(dst):
+            os.symlink(os.path.join('..', sub,
+                                    '{}_{}.txt'.format(prefix, gname)), dst)
+    cdst = os.path.join(final_dir, 'final_clusters.txt')
+    if not os.path.exists(cdst):
+        os.symlink(os.path.join('..', sub,
+                                '{}_clusters.txt'.format(prefix)), cdst)
+    split_clm_file(args.clm, res.groups, asm,
+                   os.path.join(args.outdir, 'split_clms'))
+    return 0
+
+
+def cmd_sort(args) -> int:
+    import os
+
+    import numpy as np
+
+    from haphic_tpu.io.artifacts import (load_ht_pickle, parse_clm_file,
+                                         parse_group_file)
+    from haphic_tpu.io.fasta import read_fasta
+    from haphic_tpu.order import optimize as opt
+    from haphic_tpu.order.arbiter import choose_fast_sort
+    from haphic_tpu.order.fast_sort import (fast_sort, make_group_data,
+                                            paths_to_tour, write_tour)
+
+    asm = read_fasta(args.fasta, keep_seqs=False)
+    ht = load_ht_pickle(args.HT_links, asm.name2id)
+    final_dir = os.path.join(args.outdir, 'final_tours')
+    os.makedirs(final_dir, exist_ok=True)
+    lengths = {c: int(l) for c, l in zip(asm.names, asm.lengths)}
+
+    from haphic_tpu.core.contacts import COO
+    for group_file in args.groups:
+        prefix = os.path.splitext(os.path.basename(group_file))[0]
+        ctgs = parse_group_file(group_file)
+        for c, _, length in ctgs:
+            if c not in asm.name2id:
+                raise RuntimeError(
+                    'CANNOT find contig {} in the FASTA file'.format(c))
+            if lengths[c] != length:
+                raise RuntimeError(
+                    'Length of contig {} in the group file does NOT '
+                    'match the FASTA file'.format(c))
+        members = [asm.name2id[c] for c, _, __ in ctgs]
+        gd = make_group_data(members, asm.lengths, ht)
+        fast_tour = None
+        hot = None
+        if not args.skip_fast_sort and members:
+            paths = fast_sort(
+                gd, confidence_cutoff=args.confidence_cutoff,
+                density_cal_method=args.density_cal_method,
+                flanking_region_kbp=args.flanking_region,
+                log_prefix=prefix)
+            fast_tour = paths_to_tour(paths, gd.ctg_ids, asm.names)
+            write_tour(os.path.join(args.outdir,
+                                    '{}.tour.sav'.format(prefix)),
+                       fast_tour)
+            local_of = {int(c): i for i, c in enumerate(gd.ctg_ids)}
+            hot = (np.asarray([local_of[asm.name2id[c]]
+                               for c, _ in fast_tour], np.int32),
+                   np.asarray([1 if o == '-' else 0
+                               for _, o in fast_tour], np.int32))
+        final = fast_tour
+        if not args.skip_allhic and len(members) > 1:
+            clm_path = os.path.join(args.clm_dir,
+                                    '{}.clm'.format(prefix))
+            clm = parse_clm_file(clm_path, asm.name2id)
+            problem = opt.build_problem(gd.ctg_ids, asm.lengths,
+                                        clm.pair_i, clm.pair_j, clm.d)
+            res = opt.optimize_tour(problem, npop=args.npop,
+                                    ngen=args.ngen,
+                                    mutprob=args.mutprob,
+                                    seed=args.seed, hot_start=hot,
+                                    skip_ga=args.skipGA)
+            ga_tour = opt.result_to_tour(res, gd.ctg_ids, asm.names)
+            opt.write_ga_tour(os.path.join(args.outdir,
+                                           '{}.tour'.format(prefix)),
+                              res, ga_tour, init_tour=fast_tour)
+            if fast_tour is not None and choose_fast_sort(
+                    fast_tour, ga_tour, lengths):
+                final = fast_tour
+            else:
+                final = ga_tour
+        elif fast_tour is not None:
+            write_tour(os.path.join(args.outdir,
+                                    '{}.tour'.format(prefix)), fast_tour)
+        if final is None:
+            final = [(asm.names[c], '+') for c in members]
+        write_tour(os.path.join(final_dir, '{}.tour'.format(prefix)),
+                   final)
     return 0
 
 
@@ -237,6 +425,19 @@ def cmd_refsort(args) -> int:
     return 0
 
 
+def cmd_juicer(args) -> int:
+    from haphic_tpu.post.juicer import juicer_post, juicer_pre
+    if args.juicer_cmd == 'pre':
+        juicer_pre(args.agp, args.alignments, out_prefix=args.out_prefix,
+                   outdir=args.outdir, mapq=args.mapq,
+                   assembly_mode=args.assembly_mode)
+    else:
+        juicer_post(args.review_assembly, args.liftover_agp,
+                    contigs_fasta=args.contigs_fasta,
+                    out_prefix=args.out_prefix, outdir=args.outdir)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -246,10 +447,13 @@ def main(argv=None) -> int:
     return {
         'pipeline': cmd_pipeline,
         'cluster': cmd_cluster,
+        'reassign': cmd_reassign,
+        'sort': cmd_sort,
         'build': cmd_build,
         'check': cmd_check,
         'plot': cmd_plot,
         'refsort': cmd_refsort,
+        'juicer': cmd_juicer,
     }[args.command](args)
 
 

@@ -1,0 +1,148 @@
+"""Juicebox round-trip tests: pre → (simulated review) → post."""
+
+import random
+
+import numpy as np
+import pytest
+
+from haphic_tpu.io.fasta import iter_fasta, read_fasta, revcomp
+from haphic_tpu.post.juicer import (AssemblySpace, juicer_post, juicer_pre,
+                                    parse_review_assembly,
+                                    write_assembly_files)
+from haphic_tpu.post.plot import parse_agp
+
+from . import util
+
+
+@pytest.fixture()
+def scaffolded(tmp_path):
+    rng = random.Random(7)
+    ctgs = util.random_genome(rng, n_ctg=6, min_len=2000, max_len=6000)
+    fa = tmp_path / 'ctgs.fa'
+    util.write_genome(str(fa), ctgs)
+    names = list(ctgs)
+    from haphic_tpu.build.scaffolds import build_final_scaffolds
+    asm = read_fasta(str(fa))
+    tours = {'g1': [(names[0], '+'), (names[1], '-')],
+             'g2': [(names[2], '+'), (names[3], '+')]}
+    fa_out, agp, raw = build_final_scaffolds(
+        tours, asm, corrected_ctgs=set(), outdir=str(tmp_path))
+    # pairs hitting known positions
+    recs = []
+    for k in range(500):
+        a, b = rng.choice(names[:4]), rng.choice(names[:4])
+        recs.append(('r{}'.format(k), a,
+                     rng.randrange(1, len(ctgs[a]) + 1), b,
+                     rng.randrange(1, len(ctgs[b]) + 1)))
+    pairs = tmp_path / 'hic.pairs'
+    util.write_pairs(str(pairs), recs)
+    return tmp_path, str(fa), ctgs, names, raw, str(pairs), tours
+
+
+def test_pre_outputs(scaffolded, caplog):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    import logging
+    with caplog.at_level(logging.INFO):
+        txt = juicer_pre(raw_agp, pairs, outdir=str(tmp))
+    agp = parse_agp(raw_agp)
+    space = AssemblySpace(agp)
+    assert any('PRE_C_SIZE: assembly {}'.format(space.total) in m
+               for m in caplog.messages)
+    lines = open(txt).read().splitlines()
+    assert lines
+    for line in lines[:50]:
+        cols = line.split()
+        assert cols[1] == cols[5] == 'assembly'
+        assert 1 <= int(cols[2]) <= int(cols[6]) <= space.total
+    # .assembly lists every AGP contig once (incl. unanchored objects)
+    frags, tours_out = parse_review_assembly(
+        str(tmp / 'out_JBAT.assembly'))
+    agp_ctgs = set(agp.ctg_names)
+    assert {n for n, _ in frags} == agp_ctgs
+    # 2 scaffolds + 2 unanchored single-contig objects
+    assert len(tours_out) == 4
+
+
+def test_assembly_coordinates_respect_orientation(scaffolded):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    agp = parse_agp(raw_agp)
+    space = AssemblySpace(agp)
+    # g1 = names[0] '+', names[1] '-'
+    c0 = agp.ctg_id[names[0]]
+    c1 = agp.ctg_id[names[1]]
+    l0, l1 = len(ctgs[names[0]]), len(ctgs[names[1]])
+    # start of c0 maps to assembly pos 1
+    assert space.map_positions(np.asarray([c0]), np.asarray([1]))[0] == 1
+    # c1 is reversed: its LAST base comes right after c0 + gap
+    got = space.map_positions(np.asarray([c1]), np.asarray([l1]))[0]
+    assert got == l0 + 100 + 1
+
+
+def test_post_round_trip_identity(scaffolded):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    juicer_pre(raw_agp, pairs, outdir=str(tmp))
+    agp_path = juicer_post(str(tmp / 'out_JBAT.assembly'),
+                           str(tmp / 'out_JBAT.liftover.agp'),
+                           contigs_fasta=fa, outdir=str(tmp))
+    # unedited review reproduces the scaffold sequences
+    final = {n: s for n, s in iter_fasta(str(tmp / 'out_JBAT.FINAL.fa'))}
+    g1 = ctgs[names[0]] + 'N' * 100 + revcomp(ctgs[names[1]])
+    g2 = ctgs[names[2]] + 'N' * 100 + ctgs[names[3]]
+    vals = set(final.values())
+    assert {g1, g2} <= vals
+    # unanchored contigs ride through as their own scaffolds
+    assert ctgs[names[4]] in vals and ctgs[names[5]] in vals
+
+
+def test_post_with_edits(scaffolded):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    juicer_pre(raw_agp, pairs, outdir=str(tmp))
+    frags, tours_out = parse_review_assembly(
+        str(tmp / 'out_JBAT.assembly'))
+    # edit: flip scaffold 2's first fragment and merge both scaffolds
+    merged = tours_out[0] + [-tours_out[1][0], tours_out[1][1]]
+    review = tmp / 'review.assembly'
+    with open(review, 'w') as f:
+        for fid, (n, l) in enumerate(frags, 1):
+            f.write('>{} {} {}\n'.format(n, fid, l))
+        f.write(' '.join(str(x) for x in merged) + '\n')
+    juicer_post(str(review), str(tmp / 'out_JBAT.liftover.agp'),
+                contigs_fasta=fa, outdir=str(tmp),
+                out_prefix='edited')
+    final = {n: s for n, s in iter_fasta(str(tmp / 'edited.fa'))}
+    assert len(final) == 1
+    expected = (ctgs[names[0]] + 'N' * 100 + revcomp(ctgs[names[1]])
+                + 'N' * 100 + revcomp(ctgs[names[2]])
+                + 'N' * 100 + ctgs[names[3]])
+    assert list(final.values())[0] == expected
+
+
+def test_post_with_fragment_split(scaffolded):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    juicer_pre(raw_agp, pairs, outdir=str(tmp))
+    frags, tours_out = parse_review_assembly(
+        str(tmp / 'out_JBAT.assembly'))
+    # split the first fragment (names[0], '+') into two JBAT pieces and
+    # drop the second piece as debris
+    n0, l0 = frags[0]
+    cut = l0 // 3
+    review = tmp / 'review2.assembly'
+    with open(review, 'w') as f:
+        f.write('>{}:::fragment_1 1 {}\n'.format(n0, cut))
+        f.write('>{}:::fragment_2:::debris 2 {}\n'.format(n0, l0 - cut))
+        fid = 3
+        id_map = {}
+        for (n, l) in frags[1:]:
+            f.write('>{} {} {}\n'.format(n, fid, l))
+            id_map[n] = fid
+            fid += 1
+        # scaffold: first piece + old partner; debris on its own line
+        f.write('1 -{}\n'.format(id_map[names[1]]))
+        f.write('2\n')
+    juicer_post(str(review), str(tmp / 'out_JBAT.liftover.agp'),
+                contigs_fasta=fa, outdir=str(tmp), out_prefix='split')
+    final = {n: s for n, s in iter_fasta(str(tmp / 'split.fa'))}
+    s1 = ctgs[names[0]][:cut] + 'N' * 100 + revcomp(ctgs[names[1]])
+    debris = ctgs[names[0]][cut:]
+    assert s1 in final.values()
+    assert debris in final.values()
