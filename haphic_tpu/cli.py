@@ -187,6 +187,36 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument('paf')
     pr.add_argument('--fasta', default=None)
 
+    pu = sub.add_parser('util', help='aux utilities (see utils/tools.py)')
+    pusub = pu.add_subparsers(dest='util_cmd', required=True)
+    u = pusub.add_parser('mock_agp')
+    u.add_argument('fasta')
+    u = pusub.add_parser('groups_to_clusters')
+    u.add_argument('groups', nargs='+')
+    u = pusub.add_parser('combine_groups')
+    u.add_argument('list_file')
+    u = pusub.add_parser('convert_gfa_ids')
+    u.add_argument('gfa')
+    u.add_argument('liftover_agp')
+    u = pusub.add_parser('gfa_depth_to_bedgraph')
+    u.add_argument('agp')
+    u.add_argument('gfas', nargs='+')
+    u.add_argument('--depth_tag', default='rd')
+    u.add_argument('--scale', type=float, default=1.0)
+    u = pusub.add_parser('find_telomeres')
+    u.add_argument('genome')
+    u.add_argument('--repeat', default='CCCTAAA')
+    u.add_argument('--contigs', nargs='+', default=None)
+    u = pusub.add_parser('fasta_count_N')
+    u.add_argument('fasta')
+    u = pusub.add_parser('fastq_length_filtering')
+    u.add_argument('out_fq')
+    u.add_argument('in_fqs', nargs='+')
+    u.add_argument('--length', type=int, default=50000)
+    u = pusub.add_parser('reverse_bed')
+    u.add_argument('bed')
+    u.add_argument('genome')
+
     pj = sub.add_parser('juicer',
                         help='Juicebox curation round-trip (pre/post)')
     pjsub = pj.add_subparsers(dest='juicer_cmd', required=True)
@@ -425,6 +455,34 @@ def cmd_refsort(args) -> int:
     return 0
 
 
+def cmd_util(args) -> int:
+    from haphic_tpu.utils import tools
+    c = args.util_cmd
+    if c == 'mock_agp':
+        tools.mock_agp(args.fasta)
+    elif c == 'groups_to_clusters':
+        tools.groups_to_clusters(args.groups)
+    elif c == 'combine_groups':
+        tools.combine_groups(args.list_file)
+    elif c == 'convert_gfa_ids':
+        tools.convert_gfa_ids(args.gfa, args.liftover_agp)
+    elif c == 'gfa_depth_to_bedgraph':
+        tools.gfa_depth_to_bedgraph(args.gfas, args.agp,
+                                    depth_tag=args.depth_tag,
+                                    scale=args.scale)
+    elif c == 'find_telomeres':
+        tools.find_telomeres(args.genome, repeat=args.repeat,
+                             contigs=args.contigs)
+    elif c == 'fasta_count_N':
+        tools.fasta_count_N(args.fasta)
+    elif c == 'fastq_length_filtering':
+        tools.fastq_length_filtering(args.out_fq, args.in_fqs,
+                                     length=args.length)
+    elif c == 'reverse_bed':
+        tools.reverse_bed(args.bed, args.genome)
+    return 0
+
+
 def cmd_juicer(args) -> int:
     from haphic_tpu.post.juicer import juicer_post, juicer_pre
     if args.juicer_cmd == 'pre':
@@ -454,6 +512,7 @@ def main(argv=None) -> int:
         'plot': cmd_plot,
         'refsort': cmd_refsort,
         'juicer': cmd_juicer,
+        'util': cmd_util,
     }[args.command](args)
 
 
