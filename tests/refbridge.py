@@ -11,6 +11,7 @@ import sys
 import types
 
 REF_SCRIPTS = '/root/reference/scripts'
+REF_SIMULATION = '/root/reference/simulation'
 
 
 class _Interval:
@@ -113,8 +114,10 @@ def _install_stubs():
 
 
 def load(module_name):
-    """Import a reference script module (e.g. 'HapHiC_cluster')."""
+    """Import a reference script module (e.g. 'HapHiC_cluster' or a
+    simulation-harness module like 'evaluate_scaffolds')."""
     _install_stubs()
-    if REF_SCRIPTS not in sys.path:
-        sys.path.insert(0, REF_SCRIPTS)
+    for path in (REF_SCRIPTS, REF_SIMULATION):
+        if path not in sys.path:
+            sys.path.insert(0, path)
     return __import__(module_name)
