@@ -217,6 +217,27 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument('bed')
     u.add_argument('genome')
 
+    pa = sub.add_parser(
+        'allhic',
+        help='standalone tour optimization (allhic optimize replacement)')
+    pa.add_argument('group', help='group*.txt (#Contig RECounts Length)')
+    pa.add_argument('clm', help='per-group .clm file')
+    pa.add_argument('--mutapb', type=float, default=0.2,
+                    help='mutation probability (default: %(default)s)')
+    pa.add_argument('--ngen', type=int, default=5000,
+                    help='GA generations (default: %(default)s)')
+    pa.add_argument('--npop', type=int, default=100,
+                    help='GA population size (default: %(default)s)')
+    pa.add_argument('--seed', type=int, default=42,
+                    help='random seed (default: %(default)s)')
+    pa.add_argument('--resume', action='store_true', default=False,
+                    help='hot-start from an existing <group>.tour '
+                         '(renamed to .tour.sav, as the reference binary '
+                         'does)')
+    pa.add_argument('--skipGA', action='store_true', default=False,
+                    help='score/emit the hot-start tour without running '
+                         'the GA')
+
     pj = sub.add_parser('juicer',
                         help='Juicebox curation round-trip (pre/post)')
     pjsub = pj.add_subparsers(dest='juicer_cmd', required=True)
@@ -483,6 +504,47 @@ def cmd_util(args) -> int:
     return 0
 
 
+def cmd_allhic(args) -> int:
+    """Standalone `allhic optimize` replacement (flag contract:
+    scripts/HapHiC_sort.py:618-642). Reads <group>.txt + .clm, writes
+    <prefix>.tour in the current directory; with --resume an existing
+    <prefix>.tour is renamed to <prefix>.tour.sav and used to hot-start
+    the GA, matching the reference fork's behavior."""
+    import os
+
+    import numpy as np
+
+    from haphic_tpu.io.artifacts import (parse_clm_file, parse_group_file,
+                                         parse_tour_file)
+    from haphic_tpu.order import optimize as opt
+
+    ctgs = parse_group_file(args.group)
+    names = [c for c, _, __ in ctgs]
+    name2id = {c: i for i, c in enumerate(names)}
+    lengths = np.asarray([l for _, __, l in ctgs], dtype=np.int64)
+    prefix = os.path.splitext(os.path.basename(args.group))[0]
+
+    hot = None
+    init_tour = None
+    tour_path = '{}.tour'.format(prefix)
+    if args.resume and os.path.exists(tour_path):
+        init_tour = parse_tour_file(tour_path)
+        os.replace(tour_path, '{}.tour.sav'.format(prefix))
+        hot = (np.asarray([name2id[c] for c, _ in init_tour], np.int32),
+               np.asarray([1 if o == '-' else 0 for _, o in init_tour],
+                          np.int32))
+
+    clm = parse_clm_file(args.clm, name2id)
+    problem = opt.build_problem(np.arange(len(names)), lengths,
+                                clm.pair_i, clm.pair_j, clm.d)
+    res = opt.optimize_tour(problem, npop=args.npop, ngen=args.ngen,
+                            mutprob=args.mutapb, seed=args.seed,
+                            hot_start=hot, skip_ga=args.skipGA)
+    tour = opt.result_to_tour(res, np.arange(len(names)), names)
+    opt.write_ga_tour(tour_path, res, tour, init_tour=init_tour)
+    return 0
+
+
 def cmd_juicer(args) -> int:
     from haphic_tpu.post.juicer import juicer_post, juicer_pre
     if args.juicer_cmd == 'pre':
@@ -511,6 +573,7 @@ def main(argv=None) -> int:
         'check': cmd_check,
         'plot': cmd_plot,
         'refsort': cmd_refsort,
+        'allhic': cmd_allhic,
         'juicer': cmd_juicer,
         'util': cmd_util,
     }[args.command](args)

@@ -77,6 +77,19 @@ def parse_group_file(path: str) -> List[Tuple[str, int, int]]:
     return out
 
 
+def parse_tour_file(path: str) -> List[Tuple[str, str]]:
+    """Final ordering = last non-empty line of a .tour file
+    (parity: scripts/HapHiC_build.py:29-57) → [(ctg, '+'|'-')]."""
+    last = ''
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                last = line.strip()
+    if last.startswith('>'):
+        return []
+    return [(tok[:-1], tok[-1]) for tok in last.split()]
+
+
 def parse_assembly_file(path: str) -> List[Tuple[str, List[str]]]:
     """Juicebox .assembly → [(groupN, [ctg, ...])]
     (parity: scripts/HapHiC_reassign.py:169-199; orientation signs are

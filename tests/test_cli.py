@@ -76,3 +76,51 @@ def test_staged_cli(staged):
 
 def test_check_command():
     assert main(['check']) == 0
+
+
+def _write_toy_clm(path, names, lengths, rng, n_pairs=200):
+    """Adjacent-contig read pairs for the true order names[0..k-1], all
+    '+' orientation; CLM line format: scripts/HapHiC_cluster.py:376-392."""
+    with open(path, 'w') as f:
+        for i in range(len(names) - 1):
+            a, b = names[i], names[i + 1]
+            la, lb = lengths[i], lengths[i + 1]
+            for _ in range(n_pairs):
+                pa = rng.randrange(la // 2, la)
+                pb = rng.randrange(0, lb // 2)
+                d = {'++': la - pa + pb, '+-': la - pa + lb - pb,
+                     '-+': pa + pb, '--': pa + lb - pb}
+                for combo, dist in d.items():
+                    f.write('{}{} {}{}\t2\t{} {}\n'.format(
+                        a, combo[0], b, combo[1], dist, dist))
+
+
+def test_allhic_command(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(7)
+    names = ['ctgA', 'ctgB', 'ctgC', 'ctgD']
+    lengths = [30000, 40000, 25000, 35000]
+    group = tmp_path / 'group1.txt'
+    with open(group, 'w') as f:
+        f.write('#Contig\tRECounts\tLength\n')
+        # shuffled input order: the GA must recover the chain
+        for i in (2, 0, 3, 1):
+            f.write('{}\t{}\t{}\n'.format(names[i], 10, lengths[i]))
+    clm = tmp_path / 'group1.clm'
+    _write_toy_clm(str(clm), names, lengths, rng)
+
+    assert main(['allhic', str(group), str(clm),
+                 '--ngen', '600', '--npop', '32', '--seed', '42']) == 0
+    assert os.path.exists('group1.tour')
+    lines = [l for l in open('group1.tour') if l.strip()]
+    assert any(l.startswith('>GA') for l in lines)
+    tour = [t[:-1] for t in lines[-1].split()]
+    assert tour == names or tour == names[::-1]
+
+    # --resume renames the existing tour to .tour.sav and hot-starts
+    assert main(['allhic', str(group), str(clm), '--resume', '--skipGA',
+                 '--seed', '1']) == 0
+    assert os.path.exists('group1.tour.sav')
+    tour2 = [t[:-1] for t in
+             [l for l in open('group1.tour') if l.strip()][-1].split()]
+    assert tour2 == tour
