@@ -216,6 +216,25 @@ def build_parser() -> argparse.ArgumentParser:
     u = pusub.add_parser('reverse_bed')
     u.add_argument('bed')
     u.add_argument('genome')
+    u = pusub.add_parser('global_chaining')
+    u.add_argument('paf')
+    u.add_argument('--mapq', type=int, default=0)
+    u.add_argument('--min_len', type=int, default=100000)
+    u.add_argument('--min_aln_len', type=int, default=10000)
+    u.add_argument('--div', choices=['de', 'dv'], default='de')
+    u.add_argument('--min_identity', type=float, default=90)
+    u.add_argument('--min_cov_ratio', type=float, default=0)
+    u.add_argument('--min_sb_ratio', type=float, default=0.2)
+    u.add_argument('--perform_clustering', action='store_true',
+                   default=False)
+    u = pusub.add_parser('prepare_clusters')
+    u.add_argument('wrk_dir')
+    u.add_argument('--for_manual', action='store_true', default=False)
+    u = pusub.add_parser('mock_blast')
+    u.add_argument('fasta')
+    u.add_argument('tour')
+    u = pusub.add_parser('remove_singletons')
+    u.add_argument('bam')
 
     pa = sub.add_parser(
         'allhic',
@@ -501,6 +520,20 @@ def cmd_util(args) -> int:
                                      length=args.length)
     elif c == 'reverse_bed':
         tools.reverse_bed(args.bed, args.genome)
+    elif c == 'global_chaining':
+        tools.global_chaining(
+            args.paf, mapq=args.mapq, min_len=args.min_len,
+            min_aln_len=args.min_aln_len, div=args.div,
+            min_identity=args.min_identity,
+            min_cov_ratio=args.min_cov_ratio,
+            min_sb_ratio=args.min_sb_ratio,
+            perform_clustering=args.perform_clustering)
+    elif c == 'prepare_clusters':
+        tools.prepare_clusters(args.wrk_dir, for_manual=args.for_manual)
+    elif c == 'mock_blast':
+        print(tools.mock_blast(args.fasta, args.tour))
+    elif c == 'remove_singletons':
+        tools.remove_singletons(args.bam)
     return 0
 
 

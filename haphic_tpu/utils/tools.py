@@ -13,6 +13,10 @@ Covered (reference file in parentheses):
   fastq_length_filtering (utils/fastq_length_filtering.py)
   reverse_bed     (utils/reverse_bed.py)
   split_clm       (simulation/split_clm.py — also assign.split_clm_file)
+  global_chaining (utils/global_chaining.py)   PAF weighted-LIS chains
+  prepare_clusters (utils/prepare_clusters.py)
+  mock_blast      (utils/mock_blast_file.py)
+  remove_singletons (utils/remove_singletons.py — reference is a stub)
 """
 
 from __future__ import annotations
@@ -219,3 +223,283 @@ def reverse_bed(bed: str, genome: str, out: TextIO = sys.stdout) -> None:
             if len(cols) >= 6 and cols[5] in '+-.':
                 cols[5] = flip(cols[5])
             out.write('\t'.join(cols) + '\n')
+
+
+# ---------------------------------------------------------------------------
+# PAF global chaining (parity: utils/global_chaining.py)
+
+def _weighted_lis_signed(alns, forward: bool):
+    """Max-weight increasing subsequence over signed query midpoints.
+
+    ``alns`` is sorted by reference midpoint; each item is
+    (line_no, aln_len, signed_qry_mid, ref_mid, matches, block, div).
+    Only alignments whose signed midpoint matches the requested strand
+    participate. Duplicate midpoints keep the longer alignment (and move
+    to the end of the candidate order, matching the reference's
+    list-remove/append behavior, utils/global_chaining.py:92-103).
+    Returns (total chained length, chained alignments in chain order).
+    """
+    order: List[float] = []
+    best_aln: Dict[float, tuple] = {}
+    best_len: Dict[float, int] = {}
+    for aln in alns:
+        aln_len, mid = aln[1], aln[2]
+        if (mid < 0) if forward else (mid > 0):
+            continue
+        if mid in best_aln:
+            if best_len[mid] < aln_len:
+                best_aln[mid], best_len[mid] = aln, aln_len
+                order.remove(mid)
+                order.append(mid)
+        else:
+            order.append(mid)
+            best_aln[mid], best_len[mid] = aln, aln_len
+    if not order:
+        return 0, []
+    n = len(order)
+    dp = [best_len[m] for m in order]
+    prev: List[Optional[int]] = [None] * n
+    best = 0
+    for i in range(n):
+        for j in range(i):
+            if order[i] > order[j] and dp[i] < dp[j] + best_len[order[i]]:
+                dp[i] = dp[j] + best_len[order[i]]
+                prev[i] = j
+        if dp[i] >= dp[best]:
+            best = i
+    chain = []
+    k: Optional[int] = best
+    while k is not None:
+        chain.append(best_aln[order[k]])
+        k = prev[k]
+    chain.reverse()
+    return dp[best], chain
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: Dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: str, b: str) -> None:
+        self.parent[self.find(a)] = self.find(b)
+
+
+def global_chaining(paf: str, mapq: int = 0, min_len: int = 100000,
+                    min_aln_len: int = 10000, div: str = 'de',
+                    min_identity: float = 90.0, min_cov_ratio: float = 0.0,
+                    min_sb_ratio: float = 0.2,
+                    perform_clustering: bool = False,
+                    out: TextIO = sys.stderr) -> None:
+    """Chain minimap2 PAF alignments per query-reference pair with a
+    weighted LIS, emit a chained-pair table on ``out`` and write
+    ``all_chained.paf`` (plus ``cluster<N>_chained.paf`` per connected
+    component when ``perform_clustering``). Functional parity:
+    utils/global_chaining.py (filters: MAPQ, sequence length, alignment
+    length, divergence tag presence, coverage ratio, secondary/best
+    ratio, gap-compressed identity)."""
+    div_re = re.compile(r'.+{}:f:([0-9.]+)'.format(div))
+    qry_aln: Dict[str, Dict[str, list]] = collections.defaultdict(dict)
+    qlen: Dict[str, int] = {}
+    rlen: Dict[str, int] = {}
+    with open(paf) as f:
+        for n, line in enumerate(f):
+            if not line.strip():
+                continue
+            cols = line.split()
+            if int(cols[11]) < mapq:
+                continue
+            q, ql, r, rl = cols[0], int(cols[1]), cols[5], int(cols[6])
+            if min(ql, rl) < min_len:
+                continue
+            qs, qe, rs, re_ = (int(cols[2]), int(cols[3]),
+                               int(cols[7]), int(cols[8]))
+            if re_ - rs < min_aln_len:
+                continue
+            m = div_re.match(line)
+            if m is None:
+                continue
+            sign = 1 if cols[4] == '+' else -1
+            rec = (n, re_ - rs + 1, sign * ((qe - qs) / 2 + qs),
+                   (re_ - rs) / 2 + rs, int(cols[9]), int(cols[10]),
+                   float(m.group(1)))
+            qlen.setdefault(q, ql)
+            rlen.setdefault(r, rl)
+            qry_aln[q].setdefault(r, []).append(rec)
+
+    out.write('Query\tQuery_len\tReference\tReference_len\tOrientation\t'
+              'Aln_len\tAln_num\tPercent_identity\t'
+              'Gap_compressed_Percent_identity\n')
+    chained_lines: set = set()
+    pair_lines: Dict[frozenset, set] = collections.defaultdict(set)
+    uf = _UnionFind()
+    for q, per_ref in qry_aln.items():
+        all_lis = []
+        for r, alns in per_ref.items():
+            if (sum(a[1] for a in alns) / min(qlen[q], rlen[r])
+                    < min_cov_ratio):
+                continue
+            alns.sort(key=lambda a: a[3])
+            sf, cf = _weighted_lis_signed(alns, forward=True)
+            sr, cr = _weighted_lis_signed(alns, forward=False)
+            s, chain, orient = ((sf, cf, '+') if sf >= sr
+                                else (sr, cr, '-'))
+            info = (s, chain, r, orient)
+            if all_lis and s > all_lis[0][0]:
+                all_lis.insert(0, info)
+            else:
+                all_lis.append(info)
+        if not all_lis:
+            continue
+        kept = [all_lis[0]] + [x for x in all_lis[1:]
+                               if x[0] >= min_sb_ratio * all_lis[0][0]]
+        for s, chain, r, orient in kept:
+            if s / min(qlen[q], rlen[r]) < min_cov_ratio:
+                continue
+            matches = sum(a[4] for a in chain)
+            block = sum(a[5] for a in chain)
+            div_sum = sum(a[4] * a[6] for a in chain)
+            gci = (1 - div_sum / matches) * 100
+            if gci < min_identity:
+                continue
+            for a in chain:
+                chained_lines.add(a[0])
+                pair_lines[frozenset({q, r})].add(a[0])
+            uf.union(q, r)
+            out.write('{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                q, qlen[q], r, rlen[r], orient, s, len(chain),
+                matches / block * 100, gci))
+
+    def write_filtered(lines: set, prefix: str) -> None:
+        with open(paf) as f, \
+                open('{}_chained.paf'.format(prefix), 'w') as fo:
+            for n, line in enumerate(f):
+                if n in lines:
+                    fo.write(line)
+
+    write_filtered(chained_lines, 'all')
+    if perform_clustering:
+        comps: Dict[str, set] = collections.defaultdict(set)
+        for name in uf.parent:
+            comps[uf.find(name)].add(name)
+        for n, members in enumerate(sorted(comps.values(),
+                                           key=lambda s: sorted(s)), 1):
+            lines: set = set()
+            for key, ls in pair_lines.items():
+                if key <= members:
+                    lines |= ls
+            write_filtered(lines, 'cluster{}'.format(n))
+
+
+def prepare_clusters(wrk_dir: str, for_manual: bool = False,
+                     out_path: str = 'user-prepared.clusters.txt') -> None:
+    """Collect group files from `03.rescue/` (or `05.rescue_manual/`)
+    subdirectories of a legacy work dir into one clusters.txt
+    (parity: utils/prepare_clusters.py)."""
+    import os
+    rescue_dir = '05.rescue_manual' if for_manual else '03.rescue'
+    clusters: Dict[str, List[str]] = collections.defaultdict(list)
+    for root, _dirs, files in os.walk(wrk_dir):
+        if os.path.basename(root) != rescue_dir:
+            continue
+        for fname in sorted(files):
+            if not fname.startswith('group'):
+                continue
+            name = '{}_{}'.format(root.split(os.sep)[-2],
+                                  os.path.splitext(fname)[0])
+            with open(os.path.join(root, fname)) as f:
+                for line in f:
+                    if line.strip() and not line.startswith('#'):
+                        clusters[name].append(line.split()[0])
+    with open(out_path, 'w') as fo:
+        fo.write('#Group\tnContigs\tContigs\n')
+        for name, ctgs in clusters.items():
+            fo.write('{}\t{}\t{}\n'.format(name, len(ctgs),
+                                           ' '.join(ctgs)))
+
+
+def mock_blast(fasta: str, tour: str, out_prefix: Optional[str] = None,
+               run_jcvi: bool = False) -> str:
+    """Emit a mock BLAST tabular file + .sizes files for a jcvi dotplot
+    of a tour against the truth-encoded source chromosome (parity:
+    utils/mock_blast_file.py — contig ids follow the simulation's
+    `<chr>_<n>_<start>_<end>_<orient>_<len±>` truth encoding). Returns
+    the jcvi command (executed only when ``run_jcvi``)."""
+    import os
+    import subprocess
+
+    ref_len: Dict[str, int] = collections.defaultdict(int)
+    for name, seq in iter_fasta(fasta):
+        ref_len[name.split('_')[0]] += len(seq)
+
+    last = ''
+    with open(tour) as f:
+        for line in f:
+            if line.strip():
+                last = line
+    ctgs = last.split()
+    qname = out_prefix or os.path.splitext(os.path.basename(tour))[0]
+
+    chr_len: Dict[str, int] = collections.defaultdict(int)
+    for ctg in ctgs:
+        parts = ctg.split('_')
+        chr_len[parts[0]] += int(parts[-1][:-1])
+    sname = sorted(chr_len.items(), key=lambda x: x[1])[-1][0]
+
+    total = 0
+    blast_path = 'blast_{}_{}.out'.format(qname, sname)
+    with open(blast_path, 'w') as fo:
+        for ctg in ctgs:
+            parts = ctg.split('_')
+            strand = '+' if parts[-2] == parts[-1][-1] else '-'
+            length = int(parts[-1][:-1])
+            if parts[0] == sname:
+                sstart, send = int(parts[2]), int(parts[3])
+                if strand == '-':
+                    sstart, send = send, sstart
+                fo.write('{}\t{}\t100\t{}\t0\t0\t{}\t{}\t{}\t{}\t0\t10000\n'
+                         .format(qname, sname, length, total + 1,
+                                 total + length, sstart, send))
+            total += length
+    with open('subject.sizes', 'w') as fo:
+        fo.write('{}\t{}\n'.format(sname, ref_len[sname]))
+    with open('query.sizes', 'w') as fo:
+        fo.write('{}\t{}\n'.format(qname, total))
+    cmd = ('python3 -m jcvi.graphics.blastplot {} --qsizes query.sizes '
+           '--ssizes subject.sizes --style whitegrid'.format(blast_path))
+    if run_jcvi:
+        subprocess.run(cmd.split(), check=True)
+    return cmd
+
+
+def remove_singletons(bam: str, out: TextIO = sys.stdout) -> int:
+    """Emit names of properly paired reads (both mates mapped) from a
+    name-sorted BAM — the reads to KEEP (use `samtools view -N`).
+    The reference script (utils/remove_singletons.py) is an unfinished
+    stub; this implements the documented intent. Returns #kept names."""
+    from haphic_tpu.io.bam import _PyBam
+    reader = _PyBam(bam)
+    kept = 0
+    pending_name: Optional[str] = None
+    pending_mapped = 0
+    for qname, flag, refid, _pos, _q, _cig, _aux in reader.detail_records():
+        if flag & 0x900:           # secondary/supplementary
+            continue
+        if qname != pending_name:
+            if pending_name is not None and pending_mapped >= 2:
+                out.write(pending_name + '\n')
+                kept += 1
+            pending_name, pending_mapped = qname, 0
+        if not flag & 0x4 and refid >= 0:
+            pending_mapped += 1
+    if pending_name is not None and pending_mapped >= 2:
+        out.write(pending_name + '\n')
+        kept += 1
+    return kept

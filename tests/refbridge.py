@@ -12,6 +12,7 @@ import types
 
 REF_SCRIPTS = '/root/reference/scripts'
 REF_SIMULATION = '/root/reference/simulation'
+REF_UTILS = '/root/reference/utils'
 
 
 class _Interval:
@@ -117,7 +118,7 @@ def load(module_name):
     """Import a reference script module (e.g. 'HapHiC_cluster' or a
     simulation-harness module like 'evaluate_scaffolds')."""
     _install_stubs()
-    for path in (REF_SCRIPTS, REF_SIMULATION):
+    for path in (REF_SCRIPTS, REF_SIMULATION, REF_UTILS):
         if path not in sys.path:
             sys.path.insert(0, path)
     return __import__(module_name)
