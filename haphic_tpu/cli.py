@@ -236,6 +236,58 @@ def build_parser() -> argparse.ArgumentParser:
     u = pusub.add_parser('remove_singletons')
     u.add_argument('bam')
 
+    pm = sub.add_parser('sim',
+                        help='simulation/evaluation harness tools')
+    pmsub = pm.add_subparsers(dest='sim_cmd', required=True)
+    s = pmsub.add_parser('convert_agp_to_tour')
+    s.add_argument('agp')
+    s.add_argument('prefix')
+    s = pmsub.add_parser('convert_assembly_to_tour')
+    s.add_argument('assembly')
+    s.add_argument('prefix')
+    s = pmsub.add_parser('convert_agp_to_groups')
+    s.add_argument('agp')
+    s = pmsub.add_parser('convert_assembly_to_groups')
+    s.add_argument('assembly')
+    s = pmsub.add_parser('convert_lachesis_result_to_groups')
+    s.add_argument('clusters')
+    s.add_argument('fasta')
+    s = pmsub.add_parser('convert_lachesis_ordering_to_tour')
+    s.add_argument('fasta')
+    s.add_argument('prefix')
+    s.add_argument('ordering_files', nargs='+')
+    s = pmsub.add_parser('sim_group_files')
+    s.add_argument('fasta')
+    s = pmsub.add_parser('score_statistics')
+    s.add_argument('tour')
+    s.add_argument('chrom')
+    s.add_argument('N50')
+    s.add_argument('program')
+    s.add_argument('--each_iteration', action='store_true', default=False)
+    s = pmsub.add_parser('result_statistics')
+    s.add_argument('fasta')
+    s.add_argument('groups', nargs='+')
+    s = pmsub.add_parser('link_statistics')
+    s.add_argument('fasta')
+    s.add_argument('bam')
+    s.add_argument('tag')
+    s = pmsub.add_parser('shuffle_fasta')
+    s.add_argument('fasta')
+    s.add_argument('--seed', type=int, default=12345)
+    s.add_argument('--offset', type=int, default=0)
+    s = pmsub.add_parser('split_fasta')
+    s.add_argument('fasta')
+    s.add_argument('--bin_size', type=int, default=None)
+    s.add_argument('--seed', type=int, default=12345)
+    s = pmsub.add_parser('sample_mnd')
+    s.add_argument('mnd')
+    s.add_argument('npairs', type=int)
+    s.add_argument('proportion', type=float)
+    s.add_argument('--seed', type=int, default=12345)
+    s = pmsub.add_parser('sort_agp')
+    s.add_argument('agp')
+    s.add_argument('chr_ordering', nargs='+')
+
     pa = sub.add_parser(
         'allhic',
         help='standalone tour optimization (allhic optimize replacement)')
@@ -537,6 +589,43 @@ def cmd_util(args) -> int:
     return 0
 
 
+def cmd_sim(args) -> int:
+    from haphic_tpu.sim import harness as h
+    c = args.sim_cmd
+    if c == 'convert_agp_to_tour':
+        h.convert_agp_to_tour(args.agp, args.prefix)
+    elif c == 'convert_assembly_to_tour':
+        h.convert_assembly_to_tour(args.assembly, args.prefix)
+    elif c == 'convert_agp_to_groups':
+        h.convert_agp_to_groups(args.agp)
+    elif c == 'convert_assembly_to_groups':
+        h.convert_assembly_to_groups(args.assembly)
+    elif c == 'convert_lachesis_result_to_groups':
+        h.convert_lachesis_result_to_groups(args.clusters, args.fasta)
+    elif c == 'convert_lachesis_ordering_to_tour':
+        h.convert_lachesis_ordering_to_tour(args.fasta, args.prefix,
+                                            args.ordering_files)
+    elif c == 'sim_group_files':
+        h.sim_group_files(args.fasta)
+    elif c == 'score_statistics':
+        h.score_statistics(args.tour, args.chrom, args.N50, args.program,
+                           each_iteration=args.each_iteration)
+    elif c == 'result_statistics':
+        h.result_statistics(args.fasta, args.groups)
+    elif c == 'link_statistics':
+        h.link_statistics(args.fasta, args.bam, args.tag)
+    elif c == 'shuffle_fasta':
+        h.shuffle_fasta(args.fasta, seed=args.seed, offset=args.offset)
+    elif c == 'split_fasta':
+        h.split_fasta(args.fasta, bin_size=args.bin_size, seed=args.seed)
+    elif c == 'sample_mnd':
+        h.sample_mnd(args.mnd, args.npairs, args.proportion,
+                     seed=args.seed)
+    elif c == 'sort_agp':
+        h.sort_agp(args.agp, args.chr_ordering)
+    return 0
+
+
 def cmd_allhic(args) -> int:
     """Standalone `allhic optimize` replacement (flag contract:
     scripts/HapHiC_sort.py:618-642). Reads <group>.txt + .clm, writes
@@ -607,6 +696,7 @@ def main(argv=None) -> int:
         'plot': cmd_plot,
         'refsort': cmd_refsort,
         'allhic': cmd_allhic,
+        'sim': cmd_sim,
         'juicer': cmd_juicer,
         'util': cmd_util,
     }[args.command](args)
