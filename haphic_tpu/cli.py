@@ -287,6 +287,34 @@ def build_parser() -> argparse.ArgumentParser:
     s = pmsub.add_parser('sort_agp')
     s.add_argument('agp')
     s.add_argument('chr_ordering', nargs='+')
+    s = pmsub.add_parser('sim_switch_errors')
+    s.add_argument('fasta')
+    s.add_argument('allele_info')
+    s.add_argument('--rate', type=float, default=0.1)
+    s.add_argument('--seed', type=int, default=12345)
+    s = pmsub.add_parser('sim_for_reassignment')
+    s.add_argument('fasta')
+    s.add_argument('ratio', type=float)
+    s.add_argument('--error_type', default='inter_homo',
+                   choices=['inter_homo', 'inter_nonhomo', 'contiguity',
+                            'anchoring_rate'])
+    s.add_argument('--output_groups', action='store_true', default=False)
+    s.add_argument('--seed', type=int, default=12345)
+    s = pmsub.add_parser('get_haphic_break_points')
+    s.add_argument('raw_fasta')
+    s.add_argument('corrected_fasta')
+    s.add_argument('N50')
+    s = pmsub.add_parser('extract_corrected_ctgs_from_yahs_agp')
+    s.add_argument('agp')
+    s.add_argument('fasta')
+    s = pmsub.add_parser('extract_corrected_ctgs_from_salsa_agp')
+    s.add_argument('agp')
+    s.add_argument('fasta')
+    s = pmsub.add_parser('extract_corrected_ctgs_from_3d_dna_assembly')
+    s.add_argument('assembly')
+    s.add_argument('fasta')
+    s = pmsub.add_parser('summarize_correction')
+    s.add_argument('stat')
 
     pa = sub.add_parser(
         'allhic',
@@ -623,6 +651,26 @@ def cmd_sim(args) -> int:
                      seed=args.seed)
     elif c == 'sort_agp':
         h.sort_agp(args.agp, args.chr_ordering)
+    elif c == 'sim_switch_errors':
+        h.sim_switch_errors(args.fasta, args.allele_info, rate=args.rate,
+                            seed=args.seed)
+    elif c == 'sim_for_reassignment':
+        h.sim_for_reassignment(args.fasta, args.ratio,
+                               error_type=args.error_type,
+                               seed=args.seed,
+                               output_groups=args.output_groups)
+    elif c == 'get_haphic_break_points':
+        h.get_haphic_break_points(args.raw_fasta, args.corrected_fasta,
+                                  args.N50)
+    elif c == 'extract_corrected_ctgs_from_yahs_agp':
+        h.extract_corrected_ctgs_from_yahs_agp(args.agp, args.fasta)
+    elif c == 'extract_corrected_ctgs_from_salsa_agp':
+        h.extract_corrected_ctgs_from_salsa_agp(args.agp, args.fasta)
+    elif c == 'extract_corrected_ctgs_from_3d_dna_assembly':
+        h.extract_corrected_ctgs_from_3d_dna_assembly(args.assembly,
+                                                      args.fasta)
+    elif c == 'summarize_correction':
+        h.summarize_correction(args.stat)
     return 0
 
 

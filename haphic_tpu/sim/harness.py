@@ -468,3 +468,378 @@ def sort_agp(agp: str, chr_ordering: Sequence[str],
     for group, lines in group_lines.items():
         if group not in emitted:
             out.writelines(lines)
+
+
+# ---------------------------------------------------------------------------
+# Error simulators (simulation/sim_switch_errors.py,
+# sim_for_reassignment.py)
+
+def sim_switch_errors(fasta: str, allele_info: str, rate: float = 0.1,
+                      seed: int = 12345, outdir: str = '.') -> List[str]:
+    """Swap a seeded fraction of allele assignments between haplotypes
+    and re-emit per-haplotype FASTAs + new_allele_info.txt
+    (simulation/sim_switch_errors.py — identical RNG call sequence so
+    seeded outputs match)."""
+    import numpy as np
+
+    alleles: List[list] = []
+    ploidy = 0
+    with open(allele_info) as f:
+        f.readline()
+        for line in f:
+            cols = line.split()
+            alleles.append([cols[1], int(cols[2]), cols[3:]])
+            ploidy = len(cols[3:]) - 1
+
+    n_err = int(len(alleles) * rate)
+    rng = random.Random()
+    rng.seed(seed)
+    picked = rng.sample(alleles, n_err)
+    np.random.seed(seed * 2)
+    targets = np.random.choice(list(range(ploidy - 1)), n_err,
+                               p=[1 / (ploidy - 1)] * (ploidy - 1))
+    swapped = {}
+    for entry, t in zip(picked, targets.tolist()):
+        swapped[id(entry)] = t
+
+    trans = {}
+    for n in range(ploidy):
+        others = list(range(ploidy))
+        others.pop(n)
+        trans[n] = others
+
+    by_pos: Dict[Tuple[str, int], list] = {}
+    for entry in alleles:
+        by_pos[(entry[0], entry[1])] = entry
+
+    base_name = os.path.basename(fasta).rsplit('.', 1)[0]
+    out_paths = [os.path.join(outdir, '{}_hap{}.fa'.format(base_name,
+                                                           n + 1))
+                 for n in range(ploidy)]
+    fps = [open(p, 'w') for p in out_paths]
+    info_path = os.path.join(outdir, 'new_allele_info.txt')
+    fnew = open(info_path, 'w')
+    fnew.write('Number\tChrom\tRef_coord\tRef_base\t{}\n'.format(
+        '\t'.join('hap_{}'.format(n + 1) for n in range(ploidy))))
+    allele_n = 0
+    for name, seq in iter_fasta(fasta):
+        seq = seq.upper()
+        for n, fp in enumerate(fps):
+            fp.write('>{}_{}\n'.format(name.rsplit('_', 1)[0], n + 1))
+        buffers = [[] for _ in range(ploidy)]
+        for pos, base in enumerate(seq, 1):
+            entry = by_pos.get((name, pos))
+            if entry is None:
+                for buf in buffers:
+                    buf.append(base)
+                continue
+            allele_n += 1
+            bases = entry[2]
+            if id(entry) in swapped:
+                # swap the first divergent haplotype with another
+                for n, b in enumerate(bases[1:]):
+                    if b != bases[0]:
+                        break
+                m = trans[n][swapped[id(entry)]]
+                bases[n + 1], bases[m + 1] = bases[m + 1], bases[n + 1]
+            fnew.write('{}\t{}\t{}\t{}\n'.format(allele_n, name, pos,
+                                                 '\t'.join(bases)))
+            for n, buf in enumerate(buffers):
+                if bases[n + 1] != '-':
+                    buf.append(bases[n + 1])
+        for fp, buf in zip(fps, buffers):
+            fp.write(''.join(buf) + '\n')
+    fnew.close()
+    for fp in fps:
+        fp.close()
+    return out_paths + [info_path]
+
+
+def sim_for_reassignment(fasta: str, ratio: float,
+                         error_type: str = 'inter_homo',
+                         seed: int = 12345, output_groups: bool = False,
+                         outdir: str = '.') -> str:
+    """Perturb the truth clustering of `<Chr>_<hap>_...` contigs to
+    emit clusters (and optionally group files) with a controlled error
+    rate / contiguity (simulation/sim_for_reassignment.py; identical
+    RNG call sequence)."""
+    import math
+
+    import numpy as np
+
+    source_of: 'collections.OrderedDict[str, List[str]]' = \
+        collections.OrderedDict()
+    lengths: Dict[str, int] = {}
+    for name, seq in iter_fasta(fasta):
+        source = '_'.join(name.split('_')[:2])
+        source_of.setdefault(source, []).append(name)
+        lengths[name] = len(seq)
+
+    new: 'collections.OrderedDict[str, List[str]]' = \
+        collections.OrderedDict()
+    if error_type == 'contiguity':
+        split_n = math.ceil(1 / ratio)
+        for m, (source, ctgs) in enumerate(source_of.items()):
+            max_n = int(ratio * len(ctgs))
+            rest = sorted(ctgs)
+            n = 0
+            for n in range(1, split_n):
+                rng = random.Random()
+                rng.seed(seed * n + m)
+                for ctg in rng.sample(rest, max_n):
+                    new.setdefault('{}_{}'.format(source, n),
+                                   []).append(ctg)
+                    rest.remove(ctg)
+            for ctg in rest:
+                new.setdefault('{}_{}'.format(source, n + 1),
+                               []).append(ctg)
+    else:
+        all_ctgs = sorted(c for ctgs in source_of.values() for c in ctgs)
+        n_err = int(ratio * len(all_ctgs))
+        ploidy = max(int(s.split('_')[1]) for s in source_of)
+        rng = random.Random()
+        rng.seed(seed)
+        errs = rng.sample(all_ctgs, n_err)
+        if error_type == 'inter_homo':
+            k = ploidy - 1
+        elif error_type == 'inter_nonhomo':
+            k = len(source_of) - ploidy
+        else:                       # anchoring_rate: drop the contigs
+            k = 0
+        if k:
+            np.random.seed(seed * 2)
+            choice = np.random.choice(list(range(k)), n_err,
+                                      p=[1 / k] * k).tolist()
+        for source, ctgs in source_of.items():
+            for ctg in ctgs:
+                if ctg not in errs:
+                    new.setdefault(source, []).append(ctg)
+                    continue
+                if error_type == 'anchoring_rate':
+                    continue
+                if error_type == 'inter_homo':
+                    others = ['{}_{}'.format(source.split('_')[0], n + 1)
+                              for n in range(ploidy)]
+                    others.remove(source)
+                else:
+                    others = sorted(
+                        s for s in source_of
+                        if s.split('_')[0] != source.split('_')[0])
+                dest = others[choice[errs.index(ctg)]]
+                new.setdefault(dest, []).append(ctg)
+
+    clusters_path = os.path.join(
+        outdir, '{}_{}.clusters.txt'.format(error_type, ratio))
+    with open(clusters_path, 'w') as fc:
+        fc.write('#Group\tnContigs\tContigs\n')
+        for source, ctgs in new.items():
+            fc.write('{}\t{}\t{}\n'.format(source, len(ctgs),
+                                           ' '.join(ctgs)))
+            if output_groups:
+                gp = os.path.join(outdir, '{}_{}.group_{}.txt'.format(
+                    error_type, ratio, source))
+                with open(gp, 'w') as fg:
+                    fg.write('#Contig\tRECounts\tLength\n')
+                    for ctg in ctgs:
+                        fg.write('{}\tNA\t{}\n'.format(ctg, lengths[ctg]))
+    return clusters_path
+
+
+# ---------------------------------------------------------------------------
+# Correction evaluation (simulation/get_haphic_break_points.py,
+# extract_corrected_ctgs_from_*.py, summarize_correction.py)
+
+def get_haphic_break_points(raw_fasta: str, corrected_fasta: str,
+                            n50: str, out: TextIO = sys.stdout) -> None:
+    """Per-raw-contig break-point table from a HapHiC-corrected FASTA
+    whose broken contigs carry `_break<N>` suffixes
+    (simulation/get_haphic_break_points.py). Columns:
+    program, N50, raw contig, chimera type, #breaks, cumulative break
+    positions."""
+    raw_ids: 'collections.OrderedDict[str, List[List[str]]]' = \
+        collections.OrderedDict()
+    with open(raw_fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                raw_ids[line.split()[0][1:]] = []
+
+    lengths: Dict[str, int] = {}
+    with open(corrected_fasta) as f:
+        cur = None
+        for line in f:
+            if line.startswith('>'):
+                cur = line.split()[0][1:]
+                lengths[cur] = 0
+                if cur not in raw_ids:
+                    nbreaks = cur.count('break')
+                    splits = cur.rsplit('_', nbreaks)
+                    raw_ids[splits[0]].append(splits[-nbreaks:])
+            else:
+                lengths[cur] += len(line.strip())
+
+    for raw_id, breaks in raw_ids.items():
+        if 'chimeric' in raw_id:
+            if 'inter_homo' in raw_id:
+                ctype = 'Inter_homo'
+            elif 'inner_chrom' in raw_id:
+                ctype = 'Intra_chrom'
+            else:
+                ctype = 'Inter_nonhomo'
+        else:
+            ctype = 'Non_chimeric'
+        if breaks:
+            p = 0
+            points = []
+            for b in sorted(breaks):
+                p += lengths['_'.join([raw_id] + b)]
+                points.append(p)
+            out.write('HapHiC\t{}\t{}\t{}\t{}\t{}\n'.format(
+                n50, raw_id, ctype, len(points) - 1,
+                ' '.join(str(x) for x in points[:-1])))
+        else:
+            out.write('HapHiC\t{}\t{}\t{}\t0\tNA\n'.format(n50, raw_id,
+                                                           ctype))
+
+
+def extract_corrected_ctgs_from_yahs_agp(agp: str, fasta: str,
+                                         out: TextIO = sys.stdout
+                                         ) -> None:
+    """YaHS AGP W lines → `<ctg>_<start>_<end>` corrected-contig FASTA
+    (simulation/extract_corrected_ctgs_from_yahs_agp.py)."""
+    seqs = {name: seq for name, seq in iter_fasta(fasta)}
+    with open(agp) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            cols = line.split()
+            if cols[4] != 'W':
+                continue
+            s, e = int(cols[6]), int(cols[7])
+            out.write('>{}_{}_{}\n{}\n'.format(
+                cols[5], cols[6], cols[7], seqs[cols[5]][s - 1:e]))
+
+
+def extract_corrected_ctgs_from_salsa_agp(agp: str, fasta: str,
+                                          out: TextIO = sys.stdout
+                                          ) -> None:
+    """SALSA AGP → corrected-contig FASTA; SALSA renames broken contigs
+    `<ctg>_<n>` with per-fragment local coordinates, so positions are
+    re-accumulated onto the raw contig
+    (simulation/extract_corrected_ctgs_from_salsa_agp.py)."""
+    seqs = {name: seq for name, seq in iter_fasta(fasta)}
+    frags: Dict[str, List[Tuple[int, int, int]]] = \
+        collections.defaultdict(list)
+    entries: List[Tuple[str, str]] = []
+    with open(agp) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            cols = line.split()
+            if cols[4] != 'W':
+                continue
+            if cols[5] in seqs:
+                s, e = int(cols[6]), int(cols[7])
+                entries.append(('{}_{}_{}'.format(cols[5], cols[6],
+                                                  cols[7]),
+                                seqs[cols[5]][s - 1:e]))
+            else:
+                raw, n = cols[5].rsplit('_', 1)
+                frags[raw].append((int(n), int(cols[6]), int(cols[7])))
+    for raw, frag_list in frags.items():
+        acc = 0
+        for _n, start, end in sorted(frag_list):
+            rs, re_ = start + acc - 1, end + acc
+            entries.append(('{}_{}_{}'.format(raw, rs + 1, re_),
+                            seqs[raw][rs:re_]))
+            acc += end
+    for name, seq in entries:
+        out.write('>{}\n{}\n'.format(name, seq))
+
+
+def extract_corrected_ctgs_from_3d_dna_assembly(assembly: str,
+                                                fasta: str,
+                                                out: TextIO = sys.stdout
+                                                ) -> None:
+    """3D-DNA .assembly `:::fragment_N` records → corrected-contig
+    FASTA with accumulated coordinates
+    (simulation/extract_corrected_ctgs_from_3d_dna_assembly.py)."""
+    seqs = {name: seq for name, seq in iter_fasta(fasta)}
+    frags: 'collections.OrderedDict[str, List[Tuple[int, int]]]' = \
+        collections.OrderedDict()
+    acc = 0
+    with open(assembly) as f:
+        for line in f:
+            if not line.startswith('>') or line.startswith('>hic_gap_'):
+                continue
+            cols = line.split()
+            raw = cols[0].split(':::fragment')[0][1:]
+            frag_len = int(cols[2])
+            if raw in frags:
+                frags[raw].append((acc + 1, acc + frag_len))
+                acc += frag_len
+            else:
+                frags[raw] = [(1, frag_len)]
+                acc = frag_len
+    for raw, spans in frags.items():
+        for start, end in spans:
+            out.write('>{}_{}_{}\n{}\n'.format(raw, start, end,
+                                               seqs[raw][start - 1:end]))
+
+
+def summarize_correction(stat: str, outdir: str = '.') -> None:
+    """Aggregate a correction_stat.txt (rows from
+    get_*_break_points.py) into summary.txt + break_point_distance.txt
+    (simulation/summarize_correction.py). True error positions are
+    decoded from the chimera simulator's truth-encoded ids."""
+    def true_break(cid: str) -> int:
+        parts = cid.split('_')
+        if parts[-1][-1] == '0':
+            return int(parts[6]) // 2
+        return int(parts[13]) // 2
+
+    def interval(dist: int) -> str:
+        for hi, label in ((500, '[0, 500]'), (1000, '(500, 1000]')):
+            if dist <= hi:
+                return label
+        for hi, label in ((5000, '(1000, 5000]'), (10000,
+                                                   '(5000, 10000]'),
+                          (50000, '(10000, 50000]'),
+                          (100000, '(50000, 100000]')):
+            if dist < hi:
+                return label
+        return '>100000'
+
+    kinds = ('Inter_homo', 'Inter_nonhomo', 'Intra_chrom',
+             'Non_chimeric')
+    summary: Dict[tuple, List[int]] = collections.defaultdict(
+        lambda: [0] * 8)
+    dists: Dict[tuple, List[List[int]]] = collections.defaultdict(
+        lambda: [[], [], []])
+    with open(stat) as f:
+        for line in f:
+            cols = line.strip().split('\t')
+            key = (cols[0], cols[1])
+            kind = cols[3]
+            broken = int(cols[4]) > 0
+            base = kinds.index(kind) * 2
+            summary[key][base + (0 if broken else 1)] += 1
+            if broken and kind != 'Non_chimeric':
+                slot = kinds.index(kind)
+                for p in cols[5].split():
+                    dists[key][slot].append(
+                        abs(int(p) - true_break(cols[2])))
+
+    with open(os.path.join(outdir, 'summary.txt'), 'w') as f:
+        for (prog, n50), counts in summary.items():
+            for i, kind in enumerate(kinds):
+                f.write('{}\t{}\t{}\tBroken\t{}\n'.format(
+                    prog, n50, kind, counts[2 * i]))
+                f.write('{}\t{}\t{}\tUnbroken\t{}\n'.format(
+                    prog, n50, kind, counts[2 * i + 1]))
+    with open(os.path.join(outdir, 'break_point_distance.txt'),
+              'w') as f:
+        for (prog, n50), per_kind in dists.items():
+            for kind, dlist in zip(kinds[:3], per_kind):
+                for d in dlist:
+                    f.write('{}\t{}\t{}\t{}\n'.format(prog, n50, kind,
+                                                      interval(d)))

@@ -249,3 +249,144 @@ def test_sort_agp(tmp_path, capsys):
     h.sort_agp(str(agp), ['Chr1_hap1', 'Chr2_hap1'], out=out)
     got = [l.split('\t')[0] for l in out.getvalue().splitlines()]
     assert got[:10] == ['groupB'] * 10 and got[10:] == ['groupA'] * 10
+
+
+# ---------------------------------------------------------------------------
+# error simulators + correction evaluation
+
+def test_sim_switch_errors_parity(tmp_path, monkeypatch):
+    ref = refbridge.load('sim_switch_errors')
+    fa = tmp_path / 'template.fa'
+    fa.write_text('>Chr1_t\nACGTACGTAC\n>Chr2_t\nGGGGCCCC\n')
+    allele = tmp_path / 'allele_info.txt'
+    allele.write_text(
+        'Number\tChrom\tRef_coord\tRef_base\thap_1\thap_2\n'
+        '1\tChr1_t\t2\tC\tC\tT\n'
+        '2\tChr1_t\t5\tA\tG\tA\n'
+        '3\tChr2_t\t3\tG\tG\t-\n'
+        '4\tChr2_t\t6\tC\tA\tC\n')
+
+    ref_dir = tmp_path / 'ref'
+    ref_dir.mkdir()
+    monkeypatch.chdir(ref_dir)
+    seqs = ref.parse_fasta(str(fa))
+    allele_list, ploidy = ref.parse_allele(str(allele))
+    ref.simulate_switch_error(allele_list, ploidy, 0.5, 7)
+    ref.output_fasta(str(fa), seqs, allele_list, ploidy)
+
+    our_dir = tmp_path / 'ours'
+    our_dir.mkdir()
+    monkeypatch.chdir(our_dir)
+    h.sim_switch_errors(str(fa), str(allele), rate=0.5, seed=7)
+
+    for name in ('template_hap1.fa', 'template_hap2.fa',
+                 'new_allele_info.txt'):
+        assert (our_dir / name).read_text() == \
+            (ref_dir / name).read_text(), name
+
+
+def test_sim_for_reassignment_parity(tmp_path, monkeypatch):
+    ref = refbridge.load('sim_for_reassignment')
+    import argparse
+    fa = tmp_path / 'ctgs.fa'
+    recs = []
+    for chrom in ('Chr1', 'Chr2'):
+        for hap in (1, 2):
+            for i in range(5):
+                recs.append('>{}_{}_c{}\n{}\n'.format(
+                    chrom, hap, i, 'A' * (10 + i)))
+    fa.write_text(''.join(recs))
+
+    for error_type, ratio in [('inter_homo', 0.4),
+                              ('inter_nonhomo', 0.4),
+                              ('anchoring_rate', 0.2),
+                              ('contiguity', 0.5)]:
+        ref_dir = tmp_path / ('ref_' + error_type)
+        ref_dir.mkdir()
+        monkeypatch.chdir(ref_dir)
+        src, fd = ref.parse_fasta(str(fa))
+        if error_type != 'contiguity':
+            new = ref.simulate_errors(src, ratio, error_type, 11)
+        else:
+            new = ref.simulate_contiguity(src, ratio, error_type, 11)
+        ref.output_clusters(new, fd, error_type, ratio, True)
+
+        our_dir = tmp_path / ('our_' + error_type)
+        our_dir.mkdir()
+        monkeypatch.chdir(our_dir)
+        h.sim_for_reassignment(str(fa), ratio, error_type=error_type,
+                               seed=11, output_groups=True)
+        ref_files = sorted(p.name for p in ref_dir.iterdir())
+        our_files = sorted(p.name for p in our_dir.iterdir())
+        assert our_files == ref_files, error_type
+        for name in ref_files:
+            assert (our_dir / name).read_text() == \
+                (ref_dir / name).read_text(), (error_type, name)
+
+
+def test_get_haphic_break_points(tmp_path):
+    raw = tmp_path / 'raw.fa'
+    raw.write_text('>ctg1\nAAAA\n>chimeric_inter_homo_x\nCCCC\n')
+    cor = tmp_path / 'cor.fa'
+    cor.write_text('>ctg1\nAAAA\n'
+                   '>chimeric_inter_homo_x_break1\nCC\n'
+                   '>chimeric_inter_homo_x_break2\nCC\n')
+    out = io.StringIO()
+    h.get_haphic_break_points(str(raw), str(cor), '1M', out=out)
+    lines = sorted(out.getvalue().splitlines())
+    assert 'HapHiC\t1M\tchimeric_inter_homo_x\tInter_homo\t1\t2' in lines
+    assert 'HapHiC\t1M\tctg1\tNon_chimeric\t0\tNA' in lines
+
+
+def test_extract_corrected_ctgs(tmp_path, capsys):
+    fa = tmp_path / 'raw.fa'
+    fa.write_text('>c1\nAACCGGTT\n>c2\nTTTT\n')
+    # yahs: raw coords in AGP
+    agp = tmp_path / 'y.agp'
+    agp.write_text('s1\t1\t4\t1\tW\tc1\t1\t4\t+\n'
+                   's1\t5\t8\t2\tW\tc1\t5\t8\t+\n'
+                   's2\t1\t4\t1\tW\tc2\t1\t4\t-\n')
+    out = io.StringIO()
+    h.extract_corrected_ctgs_from_yahs_agp(str(agp), str(fa), out=out)
+    assert out.getvalue() == ('>c1_1_4\nAACC\n>c1_5_8\nGGTT\n'
+                              '>c2_1_4\nTTTT\n')
+    # salsa: split contigs renamed c1_0/c1_1 with local coords
+    agp2 = tmp_path / 's.agp'
+    agp2.write_text('s1\t1\t4\t1\tW\tc1_0\t1\t4\t+\n'
+                    's2\t1\t4\t1\tW\tc1_1\t1\t4\t+\n')
+    out = io.StringIO()
+    h.extract_corrected_ctgs_from_salsa_agp(str(agp2), str(fa), out=out)
+    assert out.getvalue() == '>c1_1_4\nAACC\n>c1_5_8\nGGTT\n'
+    # 3d-dna: :::fragment records with lengths
+    asm = tmp_path / 'g.assembly'
+    asm.write_text('>c1:::fragment_1 1 4\n>c1:::fragment_2 2 4\n'
+                   '>hic_gap_1 3 100\n1 2\n')
+    out = io.StringIO()
+    h.extract_corrected_ctgs_from_3d_dna_assembly(str(asm), str(fa),
+                                                  out=out)
+    assert out.getvalue() == '>c1_1_4\nAACC\n>c1_5_8\nGGTT\n'
+
+
+def test_summarize_correction_parity(tmp_path, monkeypatch):
+    ref = refbridge.load('summarize_correction')
+    # truth-encoded chimeric ids: field 7 (idx 6) holds the length of
+    # the first source fragment when the id ends with '0'
+    cid = 'Chr1_1_chimeric_inter_homo_1_100_2000_x_y_z_a_b_3000_0'
+    stat = tmp_path / 'correction_stat.txt'
+    stat.write_text(
+        'HapHiC\t1M\t{}\tInter_homo\t1\t950\n'.format(cid) +
+        'HapHiC\t1M\tctgA\tNon_chimeric\t0\tNA\n' +
+        'YaHS\t1M\t{}\tInter_nonhomo\t0\tNA\n'.format(cid))
+    ref_dir = tmp_path / 'ref'
+    our_dir = tmp_path / 'ours'
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    monkeypatch.chdir(ref_dir)
+    sd, bd = ref.parse_stat(str(stat))
+    ref.output_summary(sd, bd)
+    monkeypatch.chdir(our_dir)
+    h.summarize_correction(str(stat))
+    assert sorted((our_dir / 'summary.txt').read_text().splitlines()) \
+        == sorted((ref_dir / 'summary.txt').read_text().splitlines())
+    assert (our_dir / 'break_point_distance.txt').read_text() == \
+        (ref_dir / 'break_point_distance.txt').read_text()
