@@ -315,6 +315,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('fasta')
     s = pmsub.add_parser('summarize_correction')
     s.add_argument('stat')
+    s = pmsub.add_parser('get_yahs_break_points')
+    s.add_argument('raw_fasta')
+    s.add_argument('agp')
+    s.add_argument('N50')
+    s = pmsub.add_parser('get_salsa_break_points')
+    s.add_argument('raw_fasta')
+    s.add_argument('agp')
+    s.add_argument('N50')
+    s = pmsub.add_parser('get_3d_dna_break_points')
+    s.add_argument('raw_fasta')
+    s.add_argument('assembly')
+    s.add_argument('N50')
+    s = pmsub.add_parser('get_allhic_break_points')
+    s.add_argument('raw_fasta')
+    s.add_argument('corrected_fasta')
+    s.add_argument('N50')
 
     pa = sub.add_parser(
         'allhic',
@@ -671,6 +687,16 @@ def cmd_sim(args) -> int:
                                                       args.fasta)
     elif c == 'summarize_correction':
         h.summarize_correction(args.stat)
+    elif c == 'get_yahs_break_points':
+        h.get_yahs_break_points(args.raw_fasta, args.agp, args.N50)
+    elif c == 'get_salsa_break_points':
+        h.get_salsa_break_points(args.raw_fasta, args.agp, args.N50)
+    elif c == 'get_3d_dna_break_points':
+        h.get_3d_dna_break_points(args.raw_fasta, args.assembly,
+                                  args.N50)
+    elif c == 'get_allhic_break_points':
+        h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
+                                  args.N50)
     return 0
 
 

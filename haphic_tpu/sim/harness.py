@@ -843,3 +843,161 @@ def summarize_correction(stat: str, outdir: str = '.') -> None:
                 for d in dlist:
                     f.write('{}\t{}\t{}\t{}\n'.format(prog, n50, kind,
                                                       interval(d)))
+
+
+def _chimera_type(raw_id: str) -> str:
+    if 'chimeric' in raw_id:
+        if 'inter_homo' in raw_id:
+            return 'Inter_homo'
+        if 'inner_chrom' in raw_id:
+            return 'Intra_chrom'
+        return 'Inter_nonhomo'
+    return 'Non_chimeric'
+
+
+def _emit_break_rows(prog: str, n50: str,
+                     rows: Iterable[Tuple[str, List[int]]],
+                     out: TextIO) -> None:
+    for raw_id, points in rows:
+        if points:
+            out.write('{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                prog, n50, raw_id, _chimera_type(raw_id), len(points),
+                ' '.join(str(p) for p in points)))
+        else:
+            out.write('{}\t{}\t{}\t{}\t0\tNA\n'.format(
+                prog, n50, raw_id, _chimera_type(raw_id)))
+
+
+def get_yahs_break_points(raw_fasta: str, agp: str, n50: str,
+                          out: TextIO = sys.stdout) -> None:
+    """YaHS keeps raw contig names with raw end coordinates in its AGP;
+    break points = all W-line end coords but the last
+    (simulation/get_yahs_break_points.py)."""
+    ends: 'collections.OrderedDict[str, List[int]]' = \
+        collections.OrderedDict()
+    with open(raw_fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                ends[line.split()[0][1:]] = []
+    with open(agp) as f:
+        for line in f:
+            cols = line.split()
+            if cols and cols[4] == 'W':
+                ends[cols[5]].append(int(cols[7]))
+    _emit_break_rows('YaHS', n50,
+                     ((rid, sorted(e)[:-1] if len(e) > 1 else [])
+                      for rid, e in ends.items()), out)
+
+
+def get_salsa_break_points(raw_fasta: str, agp: str, n50: str,
+                           out: TextIO = sys.stdout) -> None:
+    """SALSA renames fragments `<ctg>_<n>` with local coordinates;
+    break points are accumulated fragment lengths
+    (simulation/get_salsa_break_points.py)."""
+    frags: 'collections.OrderedDict[str, List[Tuple[int, int]]]' = \
+        collections.OrderedDict()
+    with open(raw_fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                frags[line.split()[0][1:]] = []
+    with open(agp) as f:
+        for line in f:
+            cols = line.split()
+            if cols and cols[4] == 'W' and cols[5] not in frags:
+                raw, n = cols[5].rsplit('_', 1)
+                frags[raw].append((int(n), int(cols[7])))
+
+    def rows():
+        for raw_id, fl in frags.items():
+            points: List[int] = []
+            p = 0
+            for _n, frag_len in sorted(fl)[:-1]:
+                points.append(frag_len + p)
+                p += frag_len
+            yield raw_id, points
+    _emit_break_rows('SALSA2', n50, rows(), out)
+
+
+def get_3d_dna_break_points(raw_fasta: str, assembly: str, n50: str,
+                            out: TextIO = sys.stdout) -> None:
+    """3D-DNA marks misjoins as `:::debris` fragments; a break point is
+    the midpoint of each interior debris region
+    (simulation/get_3d_dna_break_points.py)."""
+    lengths: Dict[str, int] = {}
+    debris: 'collections.OrderedDict[str, List[Tuple[int, int]]]' = \
+        collections.OrderedDict()
+    order: List[str] = []
+    with open(raw_fasta) as f:
+        cur = None
+        for line in f:
+            if line.startswith('>'):
+                cur = line.split()[0][1:]
+                lengths[cur] = 0
+                debris[cur] = []
+                order.append(cur)
+            else:
+                lengths[cur] += len(line.strip())
+    last = ''
+    start = 0
+    with open(assembly) as f:
+        for line in f:
+            if not line.startswith('>'):
+                continue
+            cols = line.split()
+            frag = cols[0][1:]
+            if frag in debris:
+                continue
+            frag_len = int(cols[2])
+            raw = frag.split(':::')[0]
+            if raw != last:
+                last = raw
+                start = 0
+            if frag.endswith('debris'):
+                debris[raw].append((start + 1, start + frag_len + 1))
+            start += frag_len
+
+    def rows():
+        for raw_id in order:
+            regions = _merge_spans(debris[raw_id])
+            points = []
+            # interior regions only: a debris block touching either
+            # contig end is a trim, not a misjoin break
+            if not any(lo <= 0 for lo, _hi in regions):
+                for lo, hi in regions:
+                    if hi - 1 != lengths[raw_id]:
+                        points.append((hi - lo - 1) // 2 + lo)
+            yield raw_id, points
+    _emit_break_rows('3D-DNA', n50, rows(), out)
+
+
+def _merge_spans(spans: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    out: List[Tuple[int, int]] = []
+    for lo, hi in sorted(spans):
+        if out and lo <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def get_allhic_break_points(raw_fasta: str, corrected_fasta: str,
+                            n50: str, out: TextIO = sys.stdout) -> None:
+    """ALLHiC corrector renames fragments `<ctg>_<start>_<end>`;
+    break points = sorted end coords but the last
+    (simulation/get_allhic_break_points.py)."""
+    ends: 'collections.OrderedDict[str, List[int]]' = \
+        collections.OrderedDict()
+    with open(raw_fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                ends[line.split()[0][1:]] = []
+    with open(corrected_fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                cid = line.split()[0][1:]
+                if cid not in ends:
+                    splits = cid.rsplit('_', 2)
+                    ends[splits[0]].append(int(splits[-1]))
+    _emit_break_rows('ALLHiC', n50,
+                     ((rid, sorted(e)[:-1] if e else [])
+                      for rid, e in ends.items()), out)

@@ -390,3 +390,49 @@ def test_summarize_correction_parity(tmp_path, monkeypatch):
         == sorted((ref_dir / 'summary.txt').read_text().splitlines())
     assert (our_dir / 'break_point_distance.txt').read_text() == \
         (ref_dir / 'break_point_distance.txt').read_text()
+
+
+def test_competitor_break_points(tmp_path):
+    raw = tmp_path / 'raw.fa'
+    raw.write_text('>chimeric_inner_chrom_1\n' + 'A' * 10 + '\n'
+                   '>ctgB\nCCCC\n')
+    # YaHS: raw names + raw coords
+    agp = tmp_path / 'y.agp'
+    agp.write_text(
+        's1\t1\t6\t1\tW\tchimeric_inner_chrom_1\t1\t6\t+\n'
+        's2\t1\t4\t1\tW\tchimeric_inner_chrom_1\t7\t10\t+\n'
+        's2\t5\t8\t2\tW\tctgB\t1\t4\t+\n')
+    out = io.StringIO()
+    h.get_yahs_break_points(str(raw), str(agp), '1M', out=out)
+    assert out.getvalue() == (
+        'YaHS\t1M\tchimeric_inner_chrom_1\tIntra_chrom\t1\t6\n'
+        'YaHS\t1M\tctgB\tNon_chimeric\t0\tNA\n')
+    # SALSA: fragments ctg_0/ctg_1 with local coords
+    agp2 = tmp_path / 's.agp'
+    agp2.write_text(
+        's1\t1\t6\t1\tW\tchimeric_inner_chrom_1_0\t1\t6\t+\n'
+        's2\t1\t4\t1\tW\tchimeric_inner_chrom_1_1\t1\t4\t+\n')
+    out = io.StringIO()
+    h.get_salsa_break_points(str(raw), str(agp2), '1M', out=out)
+    assert out.getvalue().splitlines()[0] == \
+        'SALSA2\t1M\tchimeric_inner_chrom_1\tIntra_chrom\t1\t6'
+    # 3D-DNA: interior debris fragment midpoint
+    asm = tmp_path / 'g.assembly'
+    asm.write_text('>chimeric_inner_chrom_1:::fragment_1 1 4\n'
+                   '>chimeric_inner_chrom_1:::fragment_2:::debris 2 2\n'
+                   '>chimeric_inner_chrom_1:::fragment_3 3 4\n'
+                   '>ctgB 4 4\n1 3\n4\n')
+    out = io.StringIO()
+    h.get_3d_dna_break_points(str(raw), str(asm), '1M', out=out)
+    row = out.getvalue().splitlines()[0].split('\t')
+    assert row[:5] == ['3D-DNA', '1M', 'chimeric_inner_chrom_1',
+                       'Intra_chrom', '1']
+    assert row[5] == '5'    # midpoint of debris span (5,7)
+    # ALLHiC: fragments renamed ctg_start_end
+    cor = tmp_path / 'cor.fa'
+    cor.write_text('>chimeric_inner_chrom_1_1_6\nAAAAAA\n'
+                   '>chimeric_inner_chrom_1_7_10\nAAAA\n>ctgB\nCCCC\n')
+    out = io.StringIO()
+    h.get_allhic_break_points(str(raw), str(cor), '1M', out=out)
+    assert out.getvalue().splitlines()[0] == \
+        'ALLHiC\t1M\tchimeric_inner_chrom_1\tIntra_chrom\t1\t6'
