@@ -331,6 +331,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('sim_collapsed_regions')
+    s.add_argument('fasta')
+    s.add_argument('allele_info')
+    s.add_argument('--collapsed_len', type=int, default=500000)
+    s.add_argument('--collapsed_ratio', type=float, default=0.2)
+    s.add_argument('--weights', default='0.7,0.2,0.1')
+    s.add_argument('--seed', type=int, default=12345)
+    s.add_argument('--strict', action='store_true', default=False)
 
     pa = sub.add_parser(
         'allhic',
@@ -697,6 +705,13 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'sim_collapsed_regions':
+        h.sim_collapsed_regions(
+            args.fasta, args.allele_info,
+            collapsed_len=args.collapsed_len,
+            collapsed_ratio=args.collapsed_ratio,
+            weights=[float(w) for w in args.weights.split(',')],
+            seed=args.seed, strict=args.strict)
     return 0
 
 

@@ -1001,3 +1001,188 @@ def get_allhic_break_points(raw_fasta: str, corrected_fasta: str,
     _emit_break_rows('ALLHiC', n50,
                      ((rid, sorted(e)[:-1] if e else [])
                       for rid, e in ends.items()), out)
+
+
+def sim_collapsed_regions(fasta: str, allele_info: str,
+                          collapsed_len: int = 500000,
+                          collapsed_ratio: float = 0.2,
+                          weights: Sequence[float] = (0.7, 0.2, 0.1),
+                          seed: int = 12345, strict: bool = False,
+                          outdir: str = '.') -> Tuple[str, str]:
+    """Simulate collapsed regions in a phased template genome
+    (simulation/sim_collapsed_regions.py). Samples non-overlapping
+    windows per template chromosome, collapses 2/3/4 haplotypes per
+    window (weighted), and writes two FASTAs:
+
+      haplotypes_collapsed_<len>_<ratio>.fa — fragment-level genome with
+        truth-encoded ids `<chr>_<haps>_<lo>_<hi>_[collapsed_ctg_|
+        remaining_hap_]<n>_<±>`;
+      haplotypes_template_<len>_<ratio>.fa — chromosome-level
+        uncollapsed genome for Hi-C read simulation.
+
+    Allele divergence between haplotypes is applied from
+    allele_info.txt (sim_haplotypes truth table). Returns both paths."""
+    import math
+    from itertools import combinations
+
+    import numpy as np
+
+    seqs: 'collections.OrderedDict[str, str]' = collections.OrderedDict()
+    for name, seq in iter_fasta(fasta):
+        seqs[name] = seq.upper()
+
+    alleles: Dict[str, Dict[int, List[str]]] = collections.defaultdict(
+        dict)
+    with open(allele_info) as f:
+        ploidy = len(f.readline().split()[4:])
+        for line in f:
+            cols = line.split()
+            alleles[cols[1]][int(cols[2])] = cols[3:]
+
+    single_hap_len = sum(len(s) for s in seqs.values())
+    weights = list(weights)
+    if sum(weights) != 1:
+        weights = [w / sum(weights) for w in weights]
+    n_regions = int(single_hap_len * ploidy /
+                    ((1 / collapsed_ratio +
+                      (weights[0] + 2 * weights[1] + 3 * weights[2]))
+                     * collapsed_len))
+
+    # --- sample non-overlapping collapsed windows (same RNG draws as
+    # the reference: oversample x50, then first-fit non-overlapping)
+    candidates = [(name, len(seq) - collapsed_len + 1)
+                  for name, seq in seqs.items()]
+    total_cand = sum(n for _name, n in candidates)
+    rng = random.Random()
+    rng.seed(seed)
+    sampled = rng.sample(range(total_cand), n_regions * 50)
+    rng2 = random.Random()
+    rng2.seed(seed * 2)
+    rng2.shuffle(sampled)
+
+    windows: Dict[str, List[Tuple[int, int]]] = collections.defaultdict(
+        list)
+    placed = 0
+    for index in sampled:
+        acc = 0
+        for name, n in candidates:
+            acc += n
+            if acc - 1 >= index:
+                break
+        lo = index - (acc - n) + 1
+        hi = index - (acc - n) + collapsed_len
+        if any(lo <= h and l <= hi for l, h in windows[name]):
+            continue
+        windows[name].append((lo, hi))
+        placed += 1
+        if placed == n_regions:
+            break
+    if strict and placed != n_regions:
+        raise RuntimeError('could not place {} non-overlapping collapsed '
+                           'regions (placed {})'.format(n_regions,
+                                                        placed))
+
+    # --- collapse types and orientations
+    all_haps = list(range(1, ploidy + 1))
+    types: List[Tuple[int, ...]] = []
+    probs: List[float] = []
+    for k, w in zip((2, 3, 4), weights):
+        if w and k <= ploidy:
+            combos = list(combinations(all_haps, k))
+            types.extend(combos)
+            probs.extend([w / len(combos)] * len(combos))
+    np.random.seed(seed * 3)
+    type_idx = np.random.choice(list(range(1, len(types) + 1)), placed,
+                                p=probs).tolist()
+    np.random.seed(seed * 4)
+    oris = np.random.choice(['+', '-'], placed * ploidy,
+                            p=[0.5, 0.5]).tolist()
+
+    col_path = os.path.join(outdir, 'haplotypes_collapsed_{}_{}.fa'
+                            .format(collapsed_len, collapsed_ratio))
+    tmp_path = os.path.join(outdir, 'haplotypes_template_{}_{}.fa'
+                            .format(collapsed_len, collapsed_ratio))
+
+    def hap_seq(name: str, lo: int, hi: int, hap0: int) -> str:
+        """Apply hap-specific alleles (0-based hap index) to [lo,hi]."""
+        base = seqs[name][lo - 1:hi]
+        table = alleles.get(name)
+        if not table:
+            return base
+        out = list(base)
+        drop = []
+        for m in range(len(out)):
+            entry = table.get(lo + m)
+            if entry is not None:
+                b = entry[hap0 + 1]
+                if b == '-':
+                    drop.append(m)
+                else:
+                    out[m] = b
+        for m in reversed(drop):
+            out.pop(m)
+        return ''.join(out)
+
+    def oriented(s: str, orient: str) -> str:
+        return s if orient == '+' else revcomp(s)
+
+    with open(col_path, 'w') as fcol, open(tmp_path, 'w') as ftmp:
+        index = 0
+        for name, seq in seqs.items():
+            father = name.split('_')[0]
+            spans = sorted(windows.get(name, []))
+            # interleave collapsed and non-collapsed intervals
+            pieces: List[Tuple[int, int, bool]] = []
+            pos = 1
+            for lo, hi in spans:
+                if pos < lo:
+                    pieces.append((pos, lo - 1, False))
+                pieces.append((lo, hi, True))
+                pos = hi + 1
+            if pos <= len(seq):
+                pieces.append((pos, len(seq), False))
+
+            n_nc = sum(1 for p in pieces if not p[2])
+            np.random.seed(seed * 5 + list(seqs).index(name))
+            nc_oris = np.random.choice(['+', '-'], n_nc * ploidy,
+                                       p=[0.5, 0.5]).tolist()
+            tmp_parts: List[List[str]] = [[] for _ in range(ploidy)]
+            index_nc = 0
+            for n, (lo, hi, is_col) in enumerate(pieces):
+                if is_col:
+                    haps = types[type_idx[index] - 1]
+                    haps_str = ''.join(str(h) for h in haps)
+                    orient = oris[index * ploidy + haps[0]]
+                    fcol.write('>{}_{}_{}_{}_collapsed_ctg_{}_{}\n{}\n'
+                               .format(father, haps_str, lo, hi, n + 1,
+                                       orient,
+                                       oriented(hap_seq(name, lo, hi,
+                                                        haps[0] - 1),
+                                                orient)))
+                    for p in haps:
+                        tmp_parts[p - 1].append(
+                            hap_seq(name, lo, hi, haps[0] - 1))
+                    for p in sorted(set(all_haps) - set(haps)):
+                        orient = oris[index * ploidy + p - 1]
+                        fcol.write('>{}_{}_{}_{}_remaining_hap_{}_{}\n'
+                                   '{}\n'.format(
+                                       father, p, lo, hi, n + 1, orient,
+                                       oriented(hap_seq(name, lo, hi,
+                                                        p - 1), orient)))
+                        tmp_parts[p - 1].append(hap_seq(name, lo, hi,
+                                                        p - 1))
+                    index += 1
+                else:
+                    for p in all_haps:
+                        orient = nc_oris[index_nc * ploidy + p - 1]
+                        fcol.write('>{}_{}_{}_{}_{}_{}\n{}\n'.format(
+                            father, p, lo, hi, n + 1, orient,
+                            oriented(hap_seq(name, lo, hi, p - 1),
+                                     orient)))
+                        tmp_parts[p - 1].append(hap_seq(name, lo, hi,
+                                                        p - 1))
+                    index_nc += 1
+            for p in all_haps:
+                ftmp.write('>{}_{}\n{}\n'.format(
+                    father, p, ''.join(tmp_parts[p - 1])))
+    return col_path, tmp_path

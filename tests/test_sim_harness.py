@@ -436,3 +436,58 @@ def test_competitor_break_points(tmp_path):
     h.get_allhic_break_points(str(raw), str(cor), '1M', out=out)
     assert out.getvalue().splitlines()[0] == \
         'ALLHiC\t1M\tchimeric_inner_chrom_1\tIntra_chrom\t1\t6'
+
+
+def test_sim_collapsed_regions(tmp_path, monkeypatch):
+    import random as _r
+    rng = _r.Random(3)
+    monkeypatch.chdir(tmp_path)
+    # 2 template chromosomes x 4 haplotypes with a small allele table
+    chrlen = 3000
+    fa = tmp_path / 'template.fa'
+    seqs = {}
+    recs = []
+    for cid in ('Chr1_t', 'Chr2_t'):
+        s = ''.join(rng.choice('ACGT') for _ in range(chrlen))
+        seqs[cid] = s
+        recs.append('>{}\n{}\n'.format(cid, s))
+    fa.write_text(''.join(recs))
+    allele = tmp_path / 'allele_info.txt'
+    rows = ['Number\tChrom\tRef_coord\tRef_base\th1\th2\th3\th4\n']
+    n = 0
+    for cid in seqs:
+        for pos in range(50, chrlen, 97):
+            n += 1
+            ref = seqs[cid][pos - 1]
+            alts = [c for c in 'ACGT' if c != ref]
+            rows.append('{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                n, cid, pos, ref, ref, alts[0], ref, alts[1]))
+    allele.write_text(''.join(rows))
+
+    col, tmp = h.sim_collapsed_regions(str(fa), str(allele),
+                                       collapsed_len=400,
+                                       collapsed_ratio=0.2, seed=9)
+    col_ids = [l[1:] for l in open(col).read().splitlines()
+               if l.startswith('>')]
+    assert any('collapsed_ctg' in i for i in col_ids)
+    # truth encoding: father, haps, lo, hi, [kind...], n, orient
+    for cid in col_ids:
+        parts = cid.split('_')
+        assert parts[0] in ('Chr1', 'Chr2')
+        assert parts[-1] in '+-'
+        assert int(parts[2]) <= int(parts[3])
+    # template genome: 4 haplotypes per chromosome, full length
+    # (alleles may delete bases, so allow a small deficit)
+    tmp_ids = [l[1:] for l in open(tmp).read().splitlines()
+               if l.startswith('>')]
+    assert sorted(tmp_ids) == sorted(
+        '{}_{}'.format(c, p) for c in ('Chr1', 'Chr2')
+        for p in (1, 2, 3, 4))
+    from haphic_tpu.io.fasta import iter_fasta
+    for name, seq in iter_fasta(tmp):
+        assert abs(len(seq) - chrlen) < 64
+    # collapsed genome conserves each haplotype's sequence once per
+    # non-collapsed region and once total per collapsed region
+    total_col = sum(len(s) for _n, s in iter_fasta(col))
+    total_tmp = sum(len(s) for _n, s in iter_fasta(tmp))
+    assert total_col < total_tmp
