@@ -331,6 +331,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('generic_result_statistics')
+    s.add_argument('fasta')
+    s.add_argument('chr_pattern')
+    s.add_argument('groups', nargs='+')
+    s = pmsub.add_parser('draw_tour_file')
+    s.add_argument('fasta')
+    s.add_argument('tour')
+    s.add_argument('program')
+    s.add_argument('N50')
+    s.add_argument('--CCC', action='store_true', default=False)
     s = pmsub.add_parser('sim_collapsed_regions')
     s.add_argument('fasta')
     s.add_argument('allele_info')
@@ -705,6 +715,12 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'generic_result_statistics':
+        h.generic_result_statistics(args.fasta, args.chr_pattern,
+                                    args.groups)
+    elif c == 'draw_tour_file':
+        h.draw_tour_file(args.fasta, args.tour, args.program, args.N50,
+                         ccc=args.CCC)
     elif c == 'sim_collapsed_regions':
         h.sim_collapsed_regions(
             args.fasta, args.allele_info,

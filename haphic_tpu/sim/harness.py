@@ -10,6 +10,7 @@ from __future__ import annotations
 import collections
 import os
 import random
+import re
 import sys
 from typing import Dict, Iterable, List, Optional, Sequence, TextIO, Tuple
 
@@ -1186,3 +1187,154 @@ def sim_collapsed_regions(fasta: str, allele_info: str,
                 ftmp.write('>{}_{}\n{}\n'.format(
                     father, p, ''.join(tmp_parts[p - 1])))
     return col_path, tmp_path
+
+
+def generic_result_statistics(fasta: str, chr_pattern: str,
+                              groups: Sequence[str],
+                              out: TextIO = sys.stdout,
+                              err: TextIO = sys.stderr
+                              ) -> Dict[str, float]:
+    """result_statistics generalized to real genomes: contigs whose id
+    matches ``chr_pattern`` are truth-anchored, others count toward
+    anchoring length only (simulation/generic_result_statistics.py)."""
+    total_len = 0
+    for name, seq in iter_fasta(fasta):
+        if 'collapsed' in name or 'chimeric' in name:
+            continue
+        total_len += len(seq)
+
+    pat = re.compile(chr_pattern)
+    anchored_len: Dict[str, int] = collections.defaultdict(int)
+    largest: Dict[str, int] = collections.defaultdict(int)
+    homo_err = nonhomo_err = 0
+    for group in groups:
+        rows = []
+        with open(group) as f:
+            for line in f:
+                if line.strip() and not line.startswith('#'):
+                    rows.append(line)
+        if len(rows) < 2:
+            err.write('group file {} is skipped because of {} contig '
+                      'inside\n'.format(group, len(rows)))
+            continue
+        per_chr: Dict[str, int] = collections.defaultdict(int)
+        for line in rows:
+            if 'collapsed' in line or 'chimeric' in line:
+                continue
+            cols = line.split()
+            length = int(cols[2])
+            if pat.match(cols[0]):
+                source = '_'.join(cols[0].split('_')[:2])
+                per_chr[source] += length
+                anchored_len[source] += length
+            else:
+                anchored_len['other'] += length
+        if not per_chr:
+            continue
+        ranked = sorted(per_chr.items(), key=lambda x: x[1])
+        dominant = ranked[-1][0]
+        for source, length in ranked:
+            largest[source] = max(largest[source], length)
+            if source != dominant:
+                if source.split('_')[0] == dominant.split('_')[0]:
+                    homo_err += length
+                else:
+                    nonhomo_err += length
+
+    anchored = sum(anchored_len.values())
+    n_sources = len([c for c in anchored_len if c != 'other'])
+    stats = {
+        'Contiguity': sum(largest[c] / anchored_len[c]
+                          for c in largest) / n_sources,
+        'Inter_homo_error_rate': homo_err / anchored * 100,
+        'Inter_nonhomo_error_rate': nonhomo_err / anchored * 100,
+        'Ngroups': len(groups),
+        'Anchoring rate': anchored / total_len * 100,
+    }
+    for key, val in stats.items():
+        if 'rate' in key.lower():
+            out.write('{}\t{}%\n'.format(key, val))
+        else:
+            out.write('{}\t{}\n'.format(key, val))
+    return stats
+
+
+def draw_tour_file(fasta: str, tour: str, program: str, n50: str,
+                   ccc: bool = False, plot: bool = True,
+                   outdir: str = '.', out: TextIO = sys.stdout):
+    """Order-vs-truth dotplot of a tour against its dominant source
+    chromosome, with optional Lin's Concordance Correlation Coefficient
+    (simulation/draw_tour_file.py; the derange2 cost needs the external
+    derange2 binary and is not reimplemented). Truth-encoded contig ids
+    `<chr>_<n>_<start>_<end>_<orient>_<len±>`. Returns
+    (line_list, ccc)."""
+    import numpy as np
+
+    with open(tour) as f:
+        last = ''
+        for line in f:
+            if line.strip():
+                last = line
+    ctgs = last.split()
+
+    chr_len: Dict[str, int] = collections.defaultdict(int)
+    for ctg in ctgs:
+        parts = ctg.split('_')
+        chr_len[parts[0]] += int(parts[-1][:-1])
+    dominant = sorted(chr_len.items(), key=lambda x: x[1])[-1][0]
+
+    line_list: List[List[int]] = []
+    xs: List[np.ndarray] = []
+    ys: List[np.ndarray] = []
+    acc = 0
+    for ctg in ctgs:
+        parts = ctg.split('_')
+        if parts[0] != dominant:
+            continue
+        strand = '+' if parts[-2] == parts[-1][-1] else '-'
+        length = int(parts[-1][:-1])
+        span = np.arange(acc + 1, acc + length + 1)
+        if strand == '+':
+            line_list.append([acc + 1, acc + length])
+            xs.append(span)
+        else:
+            line_list.append([acc + length, acc + 1])
+            xs.append(span[::-1])
+        line_list.append([int(parts[2]), int(parts[3])])
+        ys.append(np.arange(int(parts[2]), int(parts[3]) + 1))
+        acc += length
+
+    ccc_val = None
+    if ccc and xs:
+        y_pred = np.concatenate(xs).astype(np.float64)
+        y_true = np.concatenate(ys).astype(np.float64)
+        cor = np.corrcoef(y_true, y_pred)[0][1]
+        num = 2 * cor * y_true.std() * y_pred.std()
+        den = (y_true.var() + y_pred.var() +
+               (y_true.mean() - y_pred.mean()) ** 2)
+        ccc_val = round(num / den, 8)
+
+    group_name = os.path.basename(tour).split('.tour')[0]
+    if plot:
+        import matplotlib
+        matplotlib.use('Agg')
+        from matplotlib import pyplot as plt
+        plt.figure(figsize=(2.5, 2.5))
+        plt.xlabel('{} (Mb)'.format(group_name), fontsize=9)
+        plt.ylabel('{} (Mb)'.format(dominant), fontsize=9)
+        for n in range(len(line_list) // 2):
+            x, y = line_list[2 * n], line_list[2 * n + 1]
+            color = '#E64B35' if x[1] > x[0] else '#3C91BF'
+            plt.plot([v / 1e6 for v in x], [v / 1e6 for v in y],
+                     color=color, linewidth=2)
+        if ccc_val is not None:
+            plt.legend(loc='upper center', frameon=False,
+                       title="Lin's CCC = {:.2f}".format(ccc_val))
+        plt.savefig(os.path.join(
+            outdir, '{}_{}_{}.pdf'.format(group_name, program, n50)),
+            bbox_inches='tight')
+        plt.close()
+    if ccc_val is not None:
+        out.write('{}\t{}\t{}\t{}\n'.format(group_name, program, n50,
+                                            ccc_val))
+    return line_list, ccc_val

@@ -491,3 +491,40 @@ def test_sim_collapsed_regions(tmp_path, monkeypatch):
     total_col = sum(len(s) for _n, s in iter_fasta(col))
     total_tmp = sum(len(s) for _n, s in iter_fasta(tmp))
     assert total_col < total_tmp
+
+
+def test_generic_result_statistics(tmp_path):
+    fa = tmp_path / 'ctgs.fa'
+    fa.write_text('>Chr1_1_c1\n' + 'A' * 100 + '\n'
+                  '>Chr1_2_c1\n' + 'A' * 80 + '\n'
+                  '>scaff_x\n' + 'A' * 20 + '\n')
+    g1 = tmp_path / 'g1.txt'
+    g1.write_text('Chr1_1_c1\tNA\t100\nChr1_2_c1\tNA\t80\n'
+                  'scaff_x\tNA\t20\n')
+    out = io.StringIO()
+    stats = h.generic_result_statistics(str(fa), r'Chr\d+_\d+',
+                                        [str(g1)], out=out,
+                                        err=io.StringIO())
+    # scaff_x counts toward anchoring but not toward truth sources
+    assert stats['Anchoring rate'] == pytest.approx(100.0)
+    assert stats['Inter_homo_error_rate'] == pytest.approx(
+        80 / 200 * 100)
+    assert stats['Contiguity'] == pytest.approx(1.0)
+
+
+def test_draw_tour_file_ccc(tmp_path):
+    fa = tmp_path / 'ref.fa'
+    fa.write_text('>Chr1_x\n' + 'A' * 200 + '\n')
+    tour = tmp_path / 'g1.tour'
+    # perfect forward ordering: CCC == 1
+    tour.write_text('>INIT\nChr1_1_1_100_+_100+ Chr1_2_101_200_+_100+\n')
+    out = io.StringIO()
+    lines, ccc = h.draw_tour_file(str(fa), str(tour), 'HapHiC', '1M',
+                                  ccc=True, plot=False, out=out)
+    assert ccc == pytest.approx(1.0)
+    assert out.getvalue() == 'g1\tHapHiC\t1M\t1.0\n'
+    # reversed second contig lowers the CCC
+    tour.write_text('>INIT\nChr1_1_1_100_+_100+ Chr1_2_101_200_+_100-\n')
+    _l, ccc2 = h.draw_tour_file(str(fa), str(tour), 'HapHiC', '1M',
+                                ccc=True, plot=False, out=io.StringIO())
+    assert ccc2 < ccc
