@@ -331,6 +331,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('add_allele_tag')
+    s.add_argument('cor_file')
+    s.add_argument('allele_table')
+    s = pmsub.add_parser('allele_statistics')
+    s.add_argument('allele_info')
+    s.add_argument('prefix')
+    s.add_argument('--chrom', default='Chr1_1')
+    s = pmsub.add_parser('density_statistics')
+    s.add_argument('density')
+    s = pmsub.add_parser('get_paf_alignments')
+    s.add_argument('pafs', nargs='+')
+    s = pmsub.add_parser('filter_bam_from_list')
+    s.add_argument('bam')
+    s.add_argument('listf')
+    s.add_argument('--threads', type=int, default=8)
+    s = pmsub.add_parser('filter_fastq_len')
+    s.add_argument('fastq_files', nargs='+')
+    s.add_argument('--len_cutoff', type=int, default=50000)
+    s = pmsub.add_parser('interpret_switch_errors')
+    s.add_argument('allele_info')
+    s.add_argument('new_allele_info')
+    s = pmsub.add_parser('split_mnd')
+    s.add_argument('mnd')
+    s.add_argument('chrs', nargs='+')
+    s = pmsub.add_parser('split_bam')
+    s.add_argument('bam')
+    s.add_argument('chrs', nargs='+')
+    s.add_argument('--threads', type=int, default=8)
     s = pmsub.add_parser('generic_result_statistics')
     s.add_argument('fasta')
     s.add_argument('chr_pattern')
@@ -715,6 +743,26 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'add_allele_tag':
+        h.add_allele_tag(args.cor_file, args.allele_table)
+    elif c == 'allele_statistics':
+        h.allele_statistics(args.allele_info, args.prefix,
+                            chrom=args.chrom)
+    elif c == 'density_statistics':
+        h.density_statistics(args.density)
+    elif c == 'get_paf_alignments':
+        h.get_paf_alignments(args.pafs)
+    elif c == 'filter_bam_from_list':
+        h.filter_bam_from_list(args.bam, args.listf,
+                               threads=args.threads)
+    elif c == 'filter_fastq_len':
+        h.filter_fastq_len(args.fastq_files, len_cutoff=args.len_cutoff)
+    elif c == 'interpret_switch_errors':
+        h.interpret_switch_errors(args.allele_info, args.new_allele_info)
+    elif c == 'split_mnd':
+        h.split_mnd(args.mnd, args.chrs)
+    elif c == 'split_bam':
+        h.split_bam(args.bam, args.chrs, threads=args.threads)
     elif c == 'generic_result_statistics':
         h.generic_result_statistics(args.fasta, args.chr_pattern,
                                     args.groups)

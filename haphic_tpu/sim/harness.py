@@ -1338,3 +1338,209 @@ def draw_tour_file(fasta: str, tour: str, program: str, n50: str,
         out.write('{}\t{}\t{}\t{}\n'.format(group_name, program, n50,
                                             ccc_val))
     return line_list, ccc_val
+
+
+# ---------------------------------------------------------------------------
+# Small analysis/utility scripts
+
+def add_allele_tag(cor_file: str, allele_table: str,
+                   out: TextIO = sys.stdout) -> None:
+    """Append min-density and is-allelic columns to a correlation table
+    using an ALLHiC-style Allele.ctg.table
+    (simulation/add_allele_tag.py)."""
+    from itertools import combinations
+    allelic: set = set()
+    with open(allele_table) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            ctgs = line.split()[2:]
+            for a, b in combinations(ctgs, 2):
+                if a.split('_')[:2] != b.split('_')[:2]:
+                    allelic.add(tuple(sorted((a, b))))
+    with open(cor_file) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            cols = line.split()
+            tag = tuple(sorted(cols[:2])) in allelic
+            out.write('{}\t{}\t{}\n'.format(
+                line.strip(), min(float(cols[4]), float(cols[6])),
+                'True' if tag else 'False'))
+
+
+def allele_statistics(allele_info: str, prefix: str,
+                      chrom: str = 'Chr1_1', outdir: str = '.') -> str:
+    """Pairwise allele-type classification (identical / InDel /
+    SNP transition / transversion) of a 4-haplotype allele_info.txt,
+    restricted to ``chrom`` (simulation/allele_statistics.py)."""
+    def allele_type(b1: str, b2: str) -> str:
+        if b1 == b2:
+            return 'Identical'
+        if '-' in (b1, b2) or len(b1) != len(b2):
+            return 'InDel'
+        if (b1 in 'AG' and b2 in 'TC') or (b2 in 'AG' and b1 in 'TC'):
+            return 'SNP_transversion'
+        return 'SNP_transition'
+
+    from itertools import combinations
+    path = os.path.join(outdir, prefix + '.txt')
+    with open(allele_info) as fin, open(path, 'w') as fout:
+        fin.readline()
+        for line in fin:
+            cols = line.split()
+            if cols[1] != chrom:
+                break
+            haps = cols[4:8]
+            types = [allele_type(haps[i], haps[j])
+                     for i, j in combinations(range(4), 2)]
+            fout.write('{}\t{}\n'.format(line.strip(), '\t'.join(types)))
+    return path
+
+
+def density_statistics(density_file: str, out: TextIO = sys.stdout
+                       ) -> None:
+    """Annotate a link_density table with the collapse level (#haps)
+    decoded from truth-encoded ids (simulation/density_statistics.py)."""
+    with open(density_file) as f:
+        for line in f:
+            tag, ctg, density = line.strip().split('\t')
+            out.write('{}\t{}\tnhap{}\n'.format(
+                tag, density, len(ctg.split('_')[1])))
+
+
+def get_paf_alignments(pafs: Sequence[str], out: TextIO = sys.stdout
+                       ) -> None:
+    """PAF → two rows per alignment (start/end anchor points) for
+    dotplot-style downstream plotting
+    (simulation/get_paf_alignments.py)."""
+    for paf in pafs:
+        with open(paf) as f:
+            n = 0
+            for line in f:
+                if not line.strip():
+                    continue
+                n += 1
+                cols = line.split()
+                if cols[4] == '+':
+                    qs, qe = int(cols[2]) + 1, int(cols[3])
+                else:
+                    qs, qe = int(cols[3]), int(cols[2]) + 1
+                pair = '{}_{}'.format(cols[0], cols[5])
+                out.write('{}\t{}\t{}\talignment_{}\t{}\t{}\n'.format(
+                    pair, cols[1], cols[6], n, qs, int(cols[7])))
+                out.write('{}\t{}\t{}\talignment_{}\t{}\t{}\n'.format(
+                    pair, cols[1], cols[6], n, qe, int(cols[8])))
+
+
+def filter_bam_from_list(bam: str, listf: str, threads: int = 8,
+                         out: TextIO = sys.stdout) -> None:
+    """Drop reads named in a list file from a BAM, streaming SAM via
+    samtools (simulation/filter_bam_from_list.py)."""
+    drop = set()
+    with open(listf) as f:
+        for line in f:
+            if line.strip():
+                drop.add(line.strip())
+    with os.popen('samtools view -h {} -@ {}'.format(bam, threads)) as f:
+        for line in f:
+            if line.startswith('@') or line.split()[0] not in drop:
+                out.write(line)
+
+
+def filter_fastq_len(fastq_files: Sequence[str],
+                     len_cutoff: int = 50000,
+                     out_path: str = 'output.fq.gz') -> int:
+    """Length-filter FASTQ reads (gz in/out) into one output.fq.gz,
+    also requiring |seq| == |qual| (simulation/filter_fastq_len.py)."""
+    import gzip
+    kept = 0
+    with gzip.open(out_path, 'wt') as fout:
+        for fq in fastq_files:
+            fopen = gzip.open if fq.endswith('.gz') else open
+            with fopen(fq, 'rt') as fin:
+                for line1 in fin:
+                    line2 = fin.readline()
+                    line3 = fin.readline()
+                    line4 = fin.readline()
+                    if (len(line2) >= len_cutoff
+                            and len(line2) == len(line4)):
+                        fout.writelines((line1, line2, line3, line4))
+                        kept += 1
+    return kept
+
+
+def interpret_switch_errors(allele_info: str, new_allele_info: str,
+                            out: TextIO = sys.stdout) -> None:
+    """Report which haplotype pairs were swapped between an original
+    and a switch-error allele table
+    (simulation/interpret_switch_errors.py)."""
+    def load(path):
+        keys, haps = [], []
+        with open(path) as f:
+            f.readline()
+            for line in f:
+                cols = line.split()
+                keys.append((cols[1], cols[2]))
+                haps.append(tuple(cols[4:8]))
+        return keys, haps
+
+    k1, h1 = load(allele_info)
+    k2, h2 = load(new_allele_info)
+    if k1 != k2:
+        raise RuntimeError('allele tables disagree on loci')
+    for n in range(len(k1)):
+        if h1[n] != h2[n]:
+            out.write('{}\n'.format('<->'.join(
+                'hap{}'.format(m + 1) for m in range(4)
+                if h1[n][m] != h2[n][m])))
+
+
+def split_mnd(mnd: str, chrs: Sequence[str], outdir: str = '.'
+              ) -> List[str]:
+    """Split a merged_nodups.txt by source chromosome, keeping only
+    intra-chromosome pairs (simulation/split_mnd.py)."""
+    outs = {c: open(os.path.join(outdir, c + '.mnd'), 'w')
+            for c in chrs}
+    try:
+        with open(mnd) as f:
+            for line in f:
+                cols = line.split()
+                if cols[1].split('_')[0] == cols[5].split('_')[0]:
+                    src = cols[1].split('_')[0]
+                    if src in outs:
+                        outs[src].write(line)
+    finally:
+        for fo in outs.values():
+            fo.close()
+    return [os.path.join(outdir, c + '.mnd') for c in chrs]
+
+
+def split_bam(bam: str, chrs: Sequence[str], threads: int = 8,
+              outdir: str = '.') -> List[str]:
+    """Split a BAM into per-source-chromosome SAMs (intra-chromosome
+    pairs only), streaming via samtools (simulation/split_bam.py)."""
+    outs = {c: open(os.path.join(outdir, c + '.sam'), 'w')
+            for c in chrs}
+    try:
+        with os.popen('samtools view -h {} -@ {}'.format(
+                bam, threads)) as f:
+            for line in f:
+                if line.startswith('@'):
+                    if line.startswith('@SQ'):
+                        src = line.split()[1].split('_')[0][3:]
+                        if src in outs:
+                            outs[src].write(line)
+                    else:
+                        for fo in outs.values():
+                            fo.write(line)
+                else:
+                    cols = line.split()
+                    src = cols[2].split('_')[0]
+                    if src in outs and (cols[6] == '=' or
+                                        cols[6].split('_')[0] == src):
+                        outs[src].write(line)
+    finally:
+        for fo in outs.values():
+            fo.close()
+    return [os.path.join(outdir, c + '.sam') for c in chrs]

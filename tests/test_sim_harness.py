@@ -528,3 +528,77 @@ def test_draw_tour_file_ccc(tmp_path):
     _l, ccc2 = h.draw_tour_file(str(fa), str(tour), 'HapHiC', '1M',
                                 ccc=True, plot=False, out=io.StringIO())
     assert ccc2 < ccc
+
+
+def test_small_analysis_tools(tmp_path):
+    # add_allele_tag
+    table = tmp_path / 'Allele.ctg.table'
+    table.write_text('Chr1\t100\tChr1_1_c1\tChr1_2_c1\n')
+    cor = tmp_path / 'correlation.txt'
+    cor.write_text('Chr1_1_c1\tChr1_2_c1\tx\tx\t0.5\tx\t0.3\n'
+                   'Chr1_1_c1\tChr2_1_c1\tx\tx\t0.9\tx\t0.7\n')
+    out = io.StringIO()
+    h.add_allele_tag(str(cor), str(table), out=out)
+    lines = out.getvalue().splitlines()
+    assert lines[0].endswith('0.3\tTrue')
+    assert lines[1].endswith('0.7\tFalse')
+
+    # allele_statistics
+    ai = tmp_path / 'allele_info.txt'
+    ai.write_text('Number\tChrom\tRef\tRefB\th1\th2\th3\th4\n'
+                  '1\tChr1_1\t5\tA\tA\tG\tA\tT\n'
+                  '2\tChr2_1\t9\tC\tC\tC\tC\tC\n')
+    p = h.allele_statistics(str(ai), 'stats', outdir=str(tmp_path))
+    rows = open(p).read().splitlines()
+    assert len(rows) == 1          # stops at first non-Chr1_1 row
+    cols = rows[0].split('\t')
+    # h1-h2: A/G transition; h1-h4: A/T transversion; h2-h3: G/A
+    assert cols[8] == 'SNP_transition'
+    assert cols[10] == 'SNP_transversion'
+
+    # density_statistics
+    dens = tmp_path / 'link_density.txt'
+    dens.write_text('t0\tChr1_12_5_9_collapsed\t1.5\n'
+                    't0\tChr1_1_c\t0.5\n')
+    out = io.StringIO()
+    h.density_statistics(str(dens), out=out)
+    assert out.getvalue() == 't0\t1.5\tnhap2\nt0\t0.5\tnhap1\n'
+
+    # get_paf_alignments (fwd + rev coordinate conventions)
+    paf = tmp_path / 'a.paf'
+    paf.write_text('q\t100\t10\t50\t+\ts\t200\t30\t70\t40\t40\t60\n'
+                   'q\t100\t10\t50\t-\ts\t200\t30\t70\t40\t40\t60\n')
+    out = io.StringIO()
+    h.get_paf_alignments([str(paf)], out=out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == 'q_s\t100\t200\talignment_1\t11\t30'
+    assert lines[1] == 'q_s\t100\t200\talignment_1\t50\t70'
+    assert lines[2] == 'q_s\t100\t200\talignment_2\t50\t30'
+    assert lines[3] == 'q_s\t100\t200\talignment_2\t11\t70'
+
+    # interpret_switch_errors
+    ai2 = tmp_path / 'new_allele_info.txt'
+    ai2.write_text('Number\tChrom\tRef\tRefB\th1\th2\th3\th4\n'
+                   '1\tChr1_1\t5\tA\tG\tA\tA\tT\n'
+                   '2\tChr2_1\t9\tC\tC\tC\tC\tC\n')
+    out = io.StringIO()
+    h.interpret_switch_errors(str(ai), str(ai2), out=out)
+    assert out.getvalue() == 'hap1<->hap2\n'
+
+    # split_mnd
+    mnd = tmp_path / 'm.mnd'
+    mnd.write_text('0 Chr1_a 5 0 0 Chr1_b 9 1\n'
+                   '0 Chr1_a 5 0 0 Chr2_b 9 1\n'
+                   '0 Chr2_a 2 0 0 Chr2_c 3 1\n')
+    written = h.split_mnd(str(mnd), ['Chr1', 'Chr2'],
+                          outdir=str(tmp_path))
+    assert open(written[0]).read().count('\n') == 1
+    assert open(written[1]).read().count('\n') == 1
+
+    # filter_fastq_len
+    fq = tmp_path / 'r.fq'
+    fq.write_text('@a\nACGTACGT\n+\nIIIIIIII\n@b\nACG\n+\nIII\n')
+    outp = tmp_path / 'out.fq.gz'
+    kept = h.filter_fastq_len([str(fq)], len_cutoff=5,
+                              out_path=str(outp))
+    assert kept == 1
