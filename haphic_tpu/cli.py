@@ -331,6 +331,31 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('chimeric_contig_statistics')
+    s.add_argument('fasta')
+    s.add_argument('result')
+    s.add_argument('program')
+    s.add_argument('N50')
+    s = pmsub.add_parser('collapsed_contig_statistics')
+    s.add_argument('fasta')
+    s.add_argument('result')
+    s.add_argument('program')
+    s.add_argument('tag')
+    s.add_argument('--method', default='link_density',
+                   choices=['link_density', 'rank_sum'])
+    s = pmsub.add_parser('extract_SVs_from_simple')
+    s.add_argument('simple')
+    s.add_argument('gene_bed')
+    s.add_argument('--chrom', default='Chr02')
+    s = pmsub.add_parser('filter_orthologous_anchors')
+    s.add_argument('anchors_simple')
+    s.add_argument('bed1')
+    s.add_argument('bed2')
+    s.add_argument('chrs1')
+    s.add_argument('chrs2')
+    s = pmsub.add_parser('pbsperf')
+    s.add_argument('jobids', nargs='+')
+    s.add_argument('--ndays', type=int, default=100)
     s = pmsub.add_parser('add_allele_tag')
     s.add_argument('cor_file')
     s.add_argument('allele_table')
@@ -743,6 +768,20 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'chimeric_contig_statistics':
+        h.chimeric_contig_statistics(args.fasta, args.result, args.N50)
+    elif c == 'collapsed_contig_statistics':
+        h.collapsed_contig_statistics(args.fasta, args.result, args.tag,
+                                      method=args.method)
+    elif c == 'extract_SVs_from_simple':
+        h.extract_SVs_from_simple(args.simple, args.gene_bed,
+                                  chrom=args.chrom)
+    elif c == 'filter_orthologous_anchors':
+        h.filter_orthologous_anchors(args.anchors_simple, args.bed1,
+                                     args.bed2, args.chrs1.split(','),
+                                     args.chrs2.split(','))
+    elif c == 'pbsperf':
+        h.pbsperf(args.jobids, ndays=args.ndays)
     elif c == 'add_allele_tag':
         h.add_allele_tag(args.cor_file, args.allele_table)
     elif c == 'allele_statistics':

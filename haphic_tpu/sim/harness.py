@@ -1544,3 +1544,244 @@ def split_bam(bam: str, chrs: Sequence[str], threads: int = 8,
         for fo in outs.values():
             fo.close()
     return [os.path.join(outdir, c + '.sam') for c in chrs]
+
+
+# ---------------------------------------------------------------------------
+# ROC analyses of the cluster stage's filtering logs
+
+def _filter_roc(fout: TextIO, total: set, ranked: List[str],
+                positives: set, label: str, tag: str) -> None:
+    """ROC sweep over top-fraction cutoffs 0..1 step 0.025: contigs in
+    the top (1-cutoff) tail of the ranked list are 'detected'
+    (shared by simulation/{chimeric,collapsed}_contig_statistics.py)."""
+    fout.write('HapHiC\t{}\t{}\t1\t0\t0\n'.format(tag, label))
+    n = len(ranked)
+    for step in range(41):
+        param = step * 0.025
+        cut = int(n * param)
+        detected = set(ranked[cut:])
+        tp = detected & positives
+        fp = detected - positives
+        fn = positives - tp
+        tn = (total - positives) - detected
+        tpr = len(tp) / (len(tp) + len(fn)) if positives else 0.0
+        fpr = len(fp) / (len(fp) + len(tn)) if (fp or tn) else 0.0
+        fout.write('HapHiC\t{}\t{}\t{}\t{}\t{}\n'.format(
+            tag, label, round(param, 3), tpr, fpr))
+
+
+def _parse_filter_log(result: str, method: str, tag: str,
+                      table_path: str) -> List[str]:
+    """Extract per-fragment filtering scores from a cluster-stage log
+    (rank-sum or link-density lines) in log order; writes the
+    `<tag>\\t<ctg>\\t<score>` side table."""
+    if method == 'link_density':
+        pat = re.compile(
+            r'.+link density filtering\] Fragment ([\w+-]+).+'
+            r'density=([\d.]+)')
+    else:
+        pat = re.compile(
+            r'.+rank sum filtering\] Fragment ([\w+-]+).+rank sum=(\d+)')
+    ranked: List[str] = []
+    with open(result) as f, open(table_path, 'w') as fout:
+        for line in f:
+            m = pat.match(line)
+            if m:
+                ctg, score = m.groups()
+                ranked.append(ctg)
+                fout.write('{}\t{}\t{}\n'.format(tag, ctg, score))
+    return ranked
+
+
+def chimeric_contig_statistics(fasta: str, result: str, n50: str,
+                               outdir: str = '.') -> str:
+    """ROC of the rank-sum chimera detector against truth-encoded
+    chimeric contig ids (simulation/chimeric_contig_statistics.py).
+    Writes rank_sum.txt + ROC.txt."""
+    total, homo, nonhomo, inner = set(), set(), set(), set()
+    with open(fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                cid = line.split()[0][1:]
+                total.add(cid)
+                if 'inter_homo' in line:
+                    homo.add(cid)
+                elif 'inter_nonhomo' in line:
+                    nonhomo.add(cid)
+                elif 'inner' in line:
+                    inner.add(cid)
+    ranked = _parse_filter_log(result, 'rank_sum', n50,
+                               os.path.join(outdir, 'rank_sum.txt'))
+    if len(ranked) != len(total):
+        raise RuntimeError('log covers {} fragments, FASTA has {}'
+                           .format(len(ranked), len(total)))
+    roc = os.path.join(outdir, 'ROC.txt')
+    with open(roc, 'w') as fout:
+        _filter_roc(fout, total, ranked, homo, 'inter_homo', n50)
+        _filter_roc(fout, total, ranked, nonhomo, 'inter_nonhomo', n50)
+        _filter_roc(fout, total, ranked, inner, 'intra_chrom', n50)
+    return roc
+
+
+def collapsed_contig_statistics(fasta: str, result: str, tag: str,
+                                method: str = 'link_density',
+                                outdir: str = '.') -> str:
+    """ROC of the link-density (or rank-sum) collapse detector against
+    truth-encoded `<chr>_<haps>_...` ids
+    (simulation/collapsed_contig_statistics.py). Writes
+    link_density.txt + ROC.txt."""
+    total = set()
+    by_level: Dict[int, set] = {2: set(), 3: set(), 4: set()}
+    with open(fasta) as f:
+        for line in f:
+            if line.startswith('>'):
+                cid = line.split()[0][1:]
+                total.add(cid)
+                nhaps = len(cid.split('_')[1])
+                if nhaps in by_level:
+                    by_level[nhaps].add(cid)
+    ranked = _parse_filter_log(result, method, tag,
+                               os.path.join(outdir, 'link_density.txt'))
+    if len(ranked) != len(total):
+        raise RuntimeError('log covers {} fragments, FASTA has {}'
+                           .format(len(ranked), len(total)))
+    roc = os.path.join(outdir, 'ROC.txt')
+    with open(roc, 'w') as fout:
+        for nhaps, label in ((2, 'two_hap_collapsed'),
+                             (3, 'three_hap_collapsed'),
+                             (4, 'four_hap_collapsed')):
+            _filter_roc(fout, total, ranked, by_level[nhaps], label, tag)
+    return roc
+
+
+# ---------------------------------------------------------------------------
+# Synteny (jcvi) helpers and PBS accounting
+
+def extract_SVs_from_simple(simple: str, gene_bed: str,
+                            chrom: str = 'Chr02', outdir: str = '.'
+                            ) -> Tuple[str, str, str]:
+    """Split starred SV blocks of a jcvi .anchors.simple into
+    inversion/translocation/inv+trans BED files using gene coordinates
+    (simulation/extract_SVs_from_simple.py)."""
+    pos: Dict[str, Tuple[int, int]] = {}
+    with open(gene_bed) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            cols = line.split()
+            if cols[0] == chrom:
+                pos[cols[3]] = (int(cols[1]), int(cols[2]))
+    prefix = os.path.join(outdir,
+                          os.path.basename(gene_bed).rsplit('.')[0])
+    paths = tuple('{}_{}.bed'.format(prefix, k)
+                  for k in ('inv', 'trans', 'invtr'))
+    counts = {'g': 0, 'b': 0, 'r': 0}
+    names = {'g': 'INV', 'b': 'TRANS', 'r': 'INVTR'}
+    files = {k: open(p, 'w') for k, p in zip('gbr', paths)}
+    try:
+        with open(simple) as f:
+            for line in f:
+                if not line.strip() or '*' not in line:
+                    continue
+                sv = line[0]
+                cols = line[2:].split()
+                if cols[0] not in pos:
+                    continue
+                span = pos[cols[0]] + pos[cols[1]]
+                counts[sv] += 1
+                files[sv].write('{}\t{}\t{}\t{}{}\t0\t+\n'.format(
+                    chrom, min(span), max(span), names[sv], counts[sv]))
+    finally:
+        for fo in files.values():
+            fo.close()
+    return paths
+
+
+def filter_orthologous_anchors(anchors_simple: str, bed1: str, bed2: str,
+                               chrs1: Sequence[str],
+                               chrs2: Sequence[str],
+                               out: TextIO = sys.stdout) -> None:
+    """Keep collinear jcvi anchors between paired chromosomes and star
+    out-of-order blocks as inversions (g*), translocations (b*) or
+    both (r*) (simulation/filter_orthologous_anchors.py)."""
+    def parse_bed(bed):
+        chr_of: Dict[str, str] = {}
+        order: Dict[str, List[str]] = collections.defaultdict(list)
+        with open(bed) as f:
+            for line in f:
+                if line.strip():
+                    cols = line.split()
+                    chr_of[cols[3]] = cols[0]
+                    order[cols[0]].append(cols[3])
+        return chr_of, order
+
+    chr1_of, order1 = parse_bed(bed1)
+    chr2_of, order2 = parse_bed(bed2)
+    chrs1 = list(chrs1)
+    chrs2 = list(chrs2)
+    former1: List[str] = []
+    former2: List[str] = []
+    with open(anchors_simple) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            cols = line.split()
+            c1, c2 = chr1_of[cols[0]], chr2_of[cols[2]]
+            if chrs1.index(c1) != chrs2.index(c2):
+                continue
+            if not (former1 and chr1_of[former1[-1]] == c1):
+                out.write(('g*' + line) if cols[-1] == '-' else line)
+                former1, former2 = [cols[0]], [cols[2]]
+                continue
+            if max(order2[c2].index(g) for g in former2) > \
+                    order2[c2].index(cols[2]):
+                out.write(('r*' if cols[-1] == '-' else 'b*') + line)
+                continue
+            if cols[-1] == '-':
+                out.write('g*' + line)
+                former2.append(cols[2])
+                continue
+            out.write(line)
+            former1.append(cols[0])
+            former2.append(cols[2])
+
+
+def pbsperf(jobids: Sequence[str], ndays: int = 100,
+            out: TextIO = sys.stdout) -> Tuple[float, float, float]:
+    """Aggregate PBS tracejob accounting (wall/CPU minutes, peak GiB)
+    for the paper's benchmark table (simulation/pbsperf.py). Requires
+    the `tracejob` binary on a PBS host."""
+    ids = [j.split('.')[0] for j in jobids]
+    if len(ids) != len(set(ids)):
+        raise RuntimeError('Find repeated JobID!')
+    pat = re.compile(r'.+Exit_status=(\d).+resources_used.cput=([\w:]+) '
+                     r'resources_used.mem=(\d+)kb.+'
+                     r'resources_used.walltime=([\d:]+)')
+
+    def secs(t: str) -> int:
+        hh, mm, ss = t.split(':')
+        return int(hh) * 3600 + int(mm) * 60 + int(ss)
+
+    peak = cput = wallt = 0
+    for jobid in ids:
+        with os.popen('tracejob {} -n {} 2>&1'.format(jobid, ndays)) as f:
+            for line in f:
+                m = pat.match(line)
+                if m:
+                    status, cpu, mem, wall = m.groups()
+                    if status != '0':
+                        raise RuntimeError(
+                            'Exit status != 0 ({}, Exit_status={})'
+                            .format(jobid, status))
+                    cput += secs(cpu)
+                    wallt += secs(wall)
+                    peak = max(peak, int(mem))
+                elif "Couldn't find Job Id" in line:
+                    raise RuntimeError(line)
+    wall_min = round(wallt / 60, 2)
+    cpu_min = round(cput / 60, 2)
+    peak_gib = round(peak / (1024 * 1024), 2)
+    out.write('Wall time = {} min\nCPU time = {} min\n'
+              'Peak memory = {} GiB\n'.format(wall_min, cpu_min,
+                                              peak_gib))
+    return wall_min, cpu_min, peak_gib

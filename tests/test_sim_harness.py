@@ -602,3 +602,69 @@ def test_small_analysis_tools(tmp_path):
     kept = h.filter_fastq_len([str(fq)], len_cutoff=5,
                               out_path=str(outp))
     assert kept == 1
+
+
+def test_roc_statistics(tmp_path):
+    fa = tmp_path / 'ctgs.fa'
+    fa.write_text('>ctg_inter_homo_chimeric_1\nAAAA\n'
+                  '>good_1_x\nCCCC\n>good_1_y\nGGGG\n')
+    log = tmp_path / 'cluster.log'
+    # ranked worst-last: chimera has the highest rank sum
+    log.write_text(
+        'ts [rank sum filtering] Fragment good_1_x, rank sum=1\n'
+        'ts [rank sum filtering] Fragment good_1_y, rank sum=2\n'
+        'ts [rank sum filtering] Fragment ctg_inter_homo_chimeric_1, '
+        'rank sum=9\n')
+    roc = h.chimeric_contig_statistics(str(fa), str(log), '1M',
+                                       outdir=str(tmp_path))
+    rows = [l.split('\t') for l in open(roc).read().splitlines()
+            if l.split('\t')[2] == 'inter_homo']
+    # some cutoff achieves TPR=1 with FPR<1
+    assert any(float(r[4]) == 1.0 and float(r[5]) < 1.0 for r in rows)
+    assert (tmp_path / 'rank_sum.txt').exists()
+
+    fa2 = tmp_path / 'col.fa'
+    fa2.write_text('>Chr1_12_1_9_collapsed\nAAAA\n>Chr1_1_c\nCC\n')
+    log2 = tmp_path / 'cluster2.log'
+    log2.write_text(
+        'ts [link density filtering] Fragment Chr1_1_c, density=0.5\n'
+        'ts [link density filtering] Fragment Chr1_12_1_9_collapsed, '
+        'density=2.5\n')
+    roc2 = h.collapsed_contig_statistics(str(fa2), str(log2), 't0',
+                                         outdir=str(tmp_path))
+    rows = [l.split('\t') for l in open(roc2).read().splitlines()
+            if l.split('\t')[2] == 'two_hap_collapsed']
+    assert any(float(r[4]) == 1.0 and float(r[5]) < 1.0 for r in rows)
+
+
+def test_synteny_tools(tmp_path):
+    bed = tmp_path / 'genes.bed'
+    bed.write_text('Chr02\t100\t200\tg1\t0\t+\n'
+                   'Chr02\t300\t400\tg2\t0\t+\n'
+                   'Chr01\t10\t20\tg0\t0\t+\n')
+    simple = tmp_path / 'x.anchors.simple'
+    simple.write_text('g*g1\tg2\tg1\tg2\t0\t-\n')
+    inv, trans, invtr = h.extract_SVs_from_simple(
+        str(simple), str(bed), outdir=str(tmp_path))
+    assert open(inv).read() == 'Chr02\t100\t400\tINV1\t0\t+\n'
+    assert open(trans).read() == '' and open(invtr).read() == ''
+
+    # filter_orthologous_anchors: in-order anchors pass through,
+    # out-of-order subject gets starred as translocation
+    bed1 = tmp_path / 'a.bed'
+    bed1.write_text('c1\t1\t2\ta1\t0\t+\nc1\t3\t4\ta2\t0\t+\n'
+                    'c1\t5\t6\ta3\t0\t+\n')
+    bed2 = tmp_path / 'b.bed'
+    bed2.write_text('d1\t1\t2\tb1\t0\t+\nd1\t3\t4\tb2\t0\t+\n'
+                    'd1\t5\t6\tb3\t0\t+\n')
+    anchors = tmp_path / 'x.simple'
+    anchors.write_text('a1\ta1\tb1\tb1\t0\t+\n'
+                       'a2\ta2\tb3\tb3\t0\t+\n'
+                       'a3\ta3\tb2\tb2\t0\t+\n')
+    out = io.StringIO()
+    h.filter_orthologous_anchors(str(anchors), str(bed1), str(bed2),
+                                 ['c1'], ['d1'], out=out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == 'a1\ta1\tb1\tb1\t0\t+'
+    assert lines[1] == 'a2\ta2\tb3\tb3\t0\t+'
+    assert lines[2].startswith('b*')
