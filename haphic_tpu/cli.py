@@ -331,6 +331,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('mock_delta')
+    s.add_argument('query_agp')
+    s.add_argument('query_fasta')
+    s.add_argument('ref_fasta')
+    s = pmsub.add_parser('validate_mock_delta')
+    s.add_argument('ref_fa')
+    s.add_argument('query_fa')
+    s.add_argument('mock_delta')
     s = pmsub.add_parser('chimeric_contig_statistics')
     s.add_argument('fasta')
     s.add_argument('result')
@@ -768,6 +776,11 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'mock_delta':
+        h.mock_delta(args.query_agp, args.query_fasta, args.ref_fasta)
+    elif c == 'validate_mock_delta':
+        h.validate_mock_delta(args.ref_fa, args.query_fa,
+                              args.mock_delta)
     elif c == 'chimeric_contig_statistics':
         h.chimeric_contig_statistics(args.fasta, args.result, args.N50)
     elif c == 'collapsed_contig_statistics':

@@ -1785,3 +1785,131 @@ def pbsperf(jobids: Sequence[str], ndays: int = 100,
               'Peak memory = {} GiB\n'.format(wall_min, cpu_min,
                                               peak_gib))
     return wall_min, cpu_min, peak_gib
+
+
+# ---------------------------------------------------------------------------
+# Mock nucmer delta for dotplot validation (simulation/mock_delta.py,
+# validate_mock_delta.py)
+
+def _write_nogaps(fasta: str, outdir: str = '.') -> Tuple[str, Dict[str,
+                                                                    int]]:
+    """Write `<base>.chrs.nogaps<ext>` with Ns stripped; return its
+    absolute path and per-sequence lengths."""
+    base, ext = os.path.splitext(os.path.basename(fasta))
+    path = os.path.join(outdir, '{}.chrs.nogaps{}'.format(base, ext))
+    lens: Dict[str, int] = {}
+    with open(path, 'w') as fo:
+        for name, seq in iter_fasta(fasta):
+            seq = seq.upper().replace('N', '')
+            fo.write('>{}\n{}\n'.format(name, seq))
+            lens[name] = len(seq)
+    return os.path.abspath(path), lens
+
+
+def mock_delta(query_agp: str, query_fasta: str, ref_fasta: str,
+               outdir: str = '.') -> str:
+    """Mock a nucmer .delta from a scaffold AGP over truth-encoded
+    contigs `<refchr>_ctg<N>_<±>` so mummerplot-style dotplots can be
+    drawn without alignment (simulation/mock_delta.py). Adjacent
+    collinear contigs are merged into one alignment block; gap lengths
+    are subtracted since the no-gap FASTAs drop Ns."""
+    alignments: 'collections.OrderedDict[str, list]' = \
+        collections.OrderedDict()
+    per_ref: Dict[str, List[Tuple[str, int, int]]] = \
+        collections.defaultdict(list)
+    offsets: Dict[str, int] = collections.defaultdict(int)
+    with open(query_agp) as f:
+        for line in f:
+            if line.startswith('#') or not line.strip():
+                continue
+            cols = line.split()
+            scaf = cols[0]
+            if cols[4] == 'W':
+                off = offsets[scaf]
+                s, e = int(cols[1]) - off, int(cols[2]) - off
+                ctg, ctg_len, aln_ori = cols[5], int(cols[7]), cols[8]
+                ref_chrom, order, ctg_ori = ctg.rsplit('_', 2)
+                orient = '+' if aln_ori == ctg_ori else '-'
+                alignments.setdefault(scaf, []).append(
+                    (s, e, ctg, orient))
+                per_ref[ref_chrom].append((ctg, ctg_len,
+                                           int(order[3:])))
+            elif cols[4] in ('U', 'N'):
+                offsets[scaf] += int(cols[5])
+
+    ref_chrs, ref_lens = _write_nogaps(ref_fasta, outdir)
+    query_chrs, query_lens = _write_nogaps(query_fasta, outdir)
+
+    ctg_pos: Dict[str, Tuple[str, int, int]] = {}
+    for ref_chrom, ctgs in per_ref.items():
+        start = 1
+        for ctg, ctg_len, _order in sorted(ctgs, key=lambda x: x[2]):
+            ctg_pos[ctg] = (ref_chrom, start, start + ctg_len - 1)
+            start += ctg_len
+
+    path = os.path.join(outdir, 'mock.delta')
+    with open(path, 'w') as f:
+        f.write('{} {}\nNUCMER\n'.format(ref_chrs, query_chrs))
+
+        def emit(scaf, chrom, orient, cs, ce, ss, se):
+            f.write('>{} {} {} {}\n'.format(chrom, scaf,
+                                            ref_lens[chrom],
+                                            query_lens[scaf]))
+            if orient == '+':
+                f.write('{} {} {} {} 0 0 0\n0\n'.format(cs, ce, ss, se))
+            else:
+                f.write('{} {} {} {} 0 0 0\n0\n'.format(ce, cs, se, ss))
+
+        for scaf, alns in alignments.items():
+            last_se = last_ce = 0
+            last_chrom = last_ori = ''
+            m_cs = m_ss = 0
+            for s, e, ctg, orient in alns:
+                chrom, cs, ce = ctg_pos[ctg]
+                if orient == '-':
+                    cs, ce = ce, cs
+                    contiguous = last_ce == cs + 1
+                else:
+                    contiguous = last_ce == cs - 1
+                if last_chrom == '' or (chrom == last_chrom and
+                                        contiguous and
+                                        last_se == s - 1 and
+                                        last_ori == orient):
+                    if last_chrom == '':
+                        m_cs, m_ss = cs, s
+                        last_chrom, last_ori = chrom, orient
+                    last_ce, last_se = ce, e
+                    continue
+                emit(scaf, last_chrom, last_ori, m_cs, last_ce, m_ss,
+                     last_se)
+                m_cs, m_ss = cs, s
+                last_ce, last_se = ce, e
+                last_chrom, last_ori = chrom, orient
+            emit(scaf, last_chrom, last_ori, m_cs, last_ce, m_ss,
+                 last_se)
+    return path
+
+
+def validate_mock_delta(ref_fa: str, query_fa: str, delta: str,
+                        out: TextIO = sys.stdout) -> None:
+    """Assert every mocked delta block's reference slice equals the
+    (possibly reverse-complemented) query slice
+    (simulation/validate_mock_delta.py)."""
+    ref = {n: s.upper() for n, s in iter_fasta(ref_fa)}
+    query = {n: s.upper() for n, s in iter_fasta(query_fa)}
+    with open(delta) as f:
+        for line in f:
+            if not line.startswith('>'):
+                continue
+            cols = line.split()
+            chrom, scaf = cols[0][1:], cols[1]
+            rseq, qseq = ref[chrom], query[scaf]
+            assert len(rseq) == int(cols[2])
+            assert len(qseq) == int(cols[3])
+            rs, re_, ss, se = [int(v) for v in f.readline().split()[:4]]
+            assert 'N' not in rseq[rs - 1:re_]
+            if ss < se:
+                assert rseq[rs - 1:re_] == qseq[ss - 1:se]
+            else:
+                assert rseq[rs - 1:re_] == revcomp(qseq[se - 1:ss])
+    out.write('Check Passed...\n')

@@ -668,3 +668,32 @@ def test_synteny_tools(tmp_path):
     assert lines[0] == 'a1\ta1\tb1\tb1\t0\t+'
     assert lines[1] == 'a2\ta2\tb3\tb3\t0\t+'
     assert lines[2].startswith('b*')
+
+
+def test_mock_delta_roundtrip(tmp_path):
+    rng = random.Random(13)
+    chr1 = ''.join(rng.choice('ACGT') for _ in range(120))
+    ref = tmp_path / 'ref.fa'
+    ref.write_text('>Chr1\n{}\n'.format(chr1))
+    from haphic_tpu.io.fasta import revcomp
+    # two truth-encoded contigs; second stored reverse-complemented
+    query = tmp_path / 'scaffolds.fa'
+    query.write_text('>scaffold_1\n{}\n'.format(
+        chr1[:60] + 'N' * 10 + chr1[60:]))
+    agp = tmp_path / 'q.agp'
+    agp.write_text(
+        'scaffold_1\t1\t60\t1\tW\tChr1_ctg1_+\t1\t60\t+\n'
+        'scaffold_1\t61\t70\t2\tU\t10\tscaffold\tyes\t'
+        'proximity_ligation\n'
+        'scaffold_1\t71\t130\t3\tW\tChr1_ctg2_-\t1\t60\t-\n')
+    delta = h.mock_delta(str(agp), str(query), str(ref),
+                         outdir=str(tmp_path))
+    # collinear contigs merge into a single alignment block
+    blocks = [l for l in open(delta) if l.startswith('>')]
+    assert len(blocks) == 1
+    # validate_mock_delta asserts sequence identity of every block
+    out = io.StringIO()
+    h.validate_mock_delta(str(tmp_path / 'ref.chrs.nogaps.fa'),
+                          str(tmp_path / 'scaffolds.chrs.nogaps.fa'),
+                          delta, out=out)
+    assert out.getvalue() == 'Check Passed...\n'
