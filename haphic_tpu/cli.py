@@ -331,6 +331,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('raw_fasta')
     s.add_argument('corrected_fasta')
     s.add_argument('N50')
+    s = pmsub.add_parser('haplotype_kmers')
+    s.add_argument('ref')
+    s.add_argument('asm')
+    s.add_argument('--kmer_size', type=int, default=201)
+    s.add_argument('--bin_size', type=int, default=500000)
     s = pmsub.add_parser('mock_delta')
     s.add_argument('query_agp')
     s.add_argument('query_fasta')
@@ -776,6 +781,9 @@ def cmd_sim(args) -> int:
     elif c == 'get_allhic_break_points':
         h.get_allhic_break_points(args.raw_fasta, args.corrected_fasta,
                                   args.N50)
+    elif c == 'haplotype_kmers':
+        h.haplotype_kmers(args.ref, args.asm, kmer_size=args.kmer_size,
+                          bin_size=args.bin_size)
     elif c == 'mock_delta':
         h.mock_delta(args.query_agp, args.query_fasta, args.ref_fasta)
     elif c == 'validate_mock_delta':

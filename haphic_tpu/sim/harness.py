@@ -1913,3 +1913,108 @@ def validate_mock_delta(ref_fa: str, query_fa: str, delta: str,
             else:
                 assert rseq[rs - 1:re_] == revcomp(qseq[se - 1:ss])
     out.write('Check Passed...\n')
+
+
+def haplotype_kmers(ref: str, asm: str, kmer_size: int = 201,
+                    bin_size: int = 500000, outdir: str = '.'
+                    ) -> List[str]:
+    """Classify canonical assembly k-mers against a phased reference
+    (`chr<N>_<hap>` sequence names) and emit per-bin haplotype
+    composition tables `<seq>_k<k>_<bin>.txt`
+    (simulation/haplotype_kmers.py). Columns: seq, start, end, primary
+    source (hapN / shared / other_chrom / unreliable), alpha (primary
+    hap fraction of chromosome-specific k-mers), raw counts."""
+    def canonical(s: str) -> str:
+        r = revcomp(s)
+        return s if s < r else r
+
+    asm_seqs = {n: s.upper() for n, s in iter_fasta(asm)}
+
+    # per assembly sequence: ordered canonical k-mer list (N-free)
+    kmers_of: Dict[str, List[str]] = {}
+    all_kmers: set = set()
+    for name, seq in asm_seqs.items():
+        ks = []
+        for i in range(len(seq) - kmer_size + 1):
+            kf = seq[i:i + kmer_size]
+            if 'N' in kf:
+                continue
+            ks.append(canonical(kf))
+        kmers_of[name] = ks
+        all_kmers.update(ks)
+
+    # annotate with reference sources
+    sources: Dict[str, Dict[str, int]] = {}
+    for rname, seq in iter_fasta(ref):
+        seq = seq.upper()
+        for i in range(len(seq) - kmer_size + 1):
+            kf = seq[i:i + kmer_size]
+            if 'N' in kf:
+                continue
+            kmer = canonical(kf)
+            if kmer in all_kmers:
+                sources.setdefault(kmer, collections.defaultdict(int))[
+                    rname] += 1
+
+    written = []
+    for name, ks in kmers_of.items():
+        # dominant chromosome of this assembly sequence
+        chr_votes: Dict[str, int] = collections.defaultdict(int)
+        bins: List[Dict[str, int]] = []
+        for i, kmer in enumerate(ks):
+            b = i // bin_size
+            while len(bins) <= b:
+                bins.append(collections.defaultdict(int))
+            src = sources.get(kmer)
+            if src is None:
+                bins[b]['unknown'] += 1
+            elif len(src) == 1:
+                rname = next(iter(src))
+                bins[b][rname] += 1
+                chr_votes[rname.split('_')[0]] += 1
+            else:
+                chroms = {r.split('_')[0] for r in src}
+                if len(chroms) == 1:
+                    chrom = chroms.pop()
+                    bins[b][chrom + '_shared'] += 1
+                    chr_votes[chrom] += 1
+                else:
+                    bins[b]['nonspecific'] += 1
+        est_chr = sorted(chr_votes.items(), key=lambda x: x[1])[-1][0] \
+            if chr_votes else ''
+        path = os.path.join(outdir, '{}_k{}_{}.txt'.format(
+            name, kmer_size, bin_size))
+        written.append(path)
+        with open(path, 'w') as fo:
+            for b, counts in enumerate(bins):
+                start = b * bin_size + 1
+                stat: Dict[str, int] = collections.defaultdict(int)
+                chr_specific = 0
+                for src, n in counts.items():
+                    if src.endswith('_shared'):
+                        if src[:-len('_shared')] == est_chr:
+                            stat['shared'] += n
+                            chr_specific += n
+                        else:
+                            stat['other_chrom'] += n
+                    elif '_' in src and src.split('_')[0] == est_chr:
+                        stat['hap{}'.format(src.split('_')[1])] += n
+                        chr_specific += n
+                    elif src in ('nonspecific', 'unknown'):
+                        stat['unreliable'] += n
+                    else:
+                        stat['other_chrom'] += n
+                ranked = sorted(stat.items(), key=lambda x: x[1])
+                primary = ranked[-1][0]
+                alpha = 1.0
+                if primary == 'shared' or primary.startswith('hap'):
+                    max_n = 0
+                    for s, n in ranked:
+                        if s.startswith('hap') and n > max_n:
+                            max_n, primary = n, s
+                    if chr_specific:
+                        alpha = max_n / chr_specific
+                fo.write('{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                    name, start, start + bin_size - 1, primary, alpha,
+                    dict(counts)))
+    return written

@@ -697,3 +697,22 @@ def test_mock_delta_roundtrip(tmp_path):
                           str(tmp_path / 'scaffolds.chrs.nogaps.fa'),
                           delta, out=out)
     assert out.getvalue() == 'Check Passed...\n'
+
+
+def test_haplotype_kmers(tmp_path):
+    rng = random.Random(21)
+    h1 = ''.join(rng.choice('ACGT') for _ in range(300))
+    # hap2 diverges in the middle third
+    h2 = h1[:100] + ''.join(rng.choice('ACGT')
+                            for _ in range(100)) + h1[200:]
+    ref = tmp_path / 'ref.fa'
+    ref.write_text('>Chr1_1\n{}\n>Chr1_2\n{}\n'.format(h1, h2))
+    asm = tmp_path / 'asm.fa'
+    asm.write_text('>ctgA\n{}\n'.format(h2[80:220]))
+    out = h.haplotype_kmers(str(ref), str(asm), kmer_size=21,
+                            bin_size=1000, outdir=str(tmp_path))
+    rows = [l.split('\t') for l in open(out[0]).read().splitlines()]
+    assert rows and rows[0][0] == 'ctgA'
+    # the contig covers hap2's divergent region -> primary source hap2
+    assert rows[0][3] == 'hap2'
+    assert 0 < float(rows[0][4]) <= 1
