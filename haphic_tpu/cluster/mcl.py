@@ -11,7 +11,12 @@ single jit-compiled `lax.while_loop`:
     converge— numpy.allclose semantics (|a-b| <= atol + rtol*|b|),
               per-inflation freeze masks
 
-Matrices are padded to multiples of 128 (MXU tile) and kept float32.
+Matrices are padded to multiples of 128 (MXU tile) and kept float32 in
+HBM; the expansion matmul defaults to precision='high' (3-pass bf16 on
+the MXU, fp32-class accuracy) — measured ~20x faster than
+'highest' (6-pass fp32 emulation) on TPU with >=99.9% identical cluster
+membership on block-structured link matrices; pass precision='highest'
+for bit-level fp32 reproduction.
 Zero (padding) columns stay identically zero through every step because
 the normaliser guards division by zero, so padding never leaks into real
 columns.
@@ -132,7 +137,7 @@ class MCLResult:
 
 def run_mcl(adjacency: np.ndarray, inflations: Sequence[float],
             expansion: int = 2, max_iter: int = 200, pruning: float = 1e-4,
-            precision: str = 'highest',
+            precision: str = 'high',
             batch_bytes_budget: int = 6 << 30) -> MCLResult:
     """Run the full inflation sweep, auto-chunking the batch to fit HBM.
 

@@ -187,7 +187,7 @@ def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
                    nchrs: int, expansion: int = 2, min_inflation: float = 1.1,
                    max_inflation: float = 3.0, inflation_step: float = 0.1,
                    max_iter: int = 200, pruning: float = 1e-4,
-                   outdir: str = '.', precision: str = 'highest',
+                   outdir: str = '.', precision: str = 'high',
                    write_files: bool = True) -> SweepResult:
     """Full clustering stage: adjacency → batched MCL sweep → cluster
     files + inflation recommendation."""
