@@ -146,3 +146,48 @@ def test_post_with_fragment_split(scaffolded):
     debris = ctgs[names[0]][cut:]
     assert s1 in final.values()
     assert debris in final.values()
+
+
+NATIVE_JUICER = __import__('os').path.join(
+    __import__('os').path.dirname(__import__('os').path.dirname(
+        __import__('os').path.abspath(__file__))), 'native', 'juicer')
+
+
+@pytest.mark.skipif(not __import__('os').path.exists(NATIVE_JUICER),
+                    reason='native juicer not built')
+def test_native_juicer_matches_python(scaffolded):
+    """The C++ juicer writes byte-identical pre/post artifacts."""
+    import os
+    import subprocess
+
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    py_dir = tmp / 'py'
+    c_dir = tmp / 'c'
+    py_dir.mkdir()
+    c_dir.mkdir()
+    juicer_pre(raw_agp, pairs, outdir=str(py_dir))
+    r = subprocess.run(
+        [NATIVE_JUICER, 'pre', '-a', '-q', '1',
+         '-o', str(c_dir / 'out_JBAT'), pairs, raw_agp],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert 'PRE_C_SIZE: assembly' in r.stderr
+    for name in ('out_JBAT.txt', 'out_JBAT.assembly',
+                 'out_JBAT.liftover.agp'):
+        assert (c_dir / name).read_bytes() == \
+            (py_dir / name).read_bytes(), name
+
+    # post: identity review round-trip must reproduce the Python AGP+FA
+    juicer_post(str(py_dir / 'out_JBAT.assembly'),
+                str(py_dir / 'out_JBAT.liftover.agp'),
+                contigs_fasta=fa, outdir=str(py_dir))
+    r = subprocess.run(
+        [NATIVE_JUICER, 'post', '-o', str(c_dir / 'out_JBAT.FINAL'),
+         str(c_dir / 'out_JBAT.assembly'),
+         str(c_dir / 'out_JBAT.liftover.agp'), fa],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (c_dir / 'out_JBAT.FINAL.agp').read_bytes() == \
+        (py_dir / 'out_JBAT.FINAL.agp').read_bytes()
+    assert (c_dir / 'out_JBAT.FINAL.fa').read_bytes() == \
+        (py_dir / 'out_JBAT.FINAL.fa').read_bytes()
