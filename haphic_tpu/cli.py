@@ -415,6 +415,35 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('--weights', default='0.7,0.2,0.1')
     s.add_argument('--seed', type=int, default=12345)
     s.add_argument('--strict', action='store_true', default=False)
+    s = pmsub.add_parser('allelic_contig_statistics')
+    s.add_argument('result', help='cluster-stage --verbose log')
+    s.add_argument('allele_table', help='ALLHiC Allele.ctg.table')
+    s.add_argument('tag')
+    s.add_argument('--overlap_len_cutoff', type=int, default=10000)
+    s.add_argument('--link_cutoff', type=int, default=20)
+    s = pmsub.add_parser('get_discordant_HiC_links')
+    s.add_argument('agp_truth')
+    s.add_argument('bam')
+    s.add_argument('--agp', nargs=2, action='append', required=True,
+                   metavar=('TAG', 'AGP'),
+                   help='result to compare (repeatable)')
+    s.add_argument('--bin_size', type=int, default=500000)
+    s = pmsub.add_parser('correction_analysis')
+    s.add_argument('raw', help='raw assembly FASTA')
+    s.add_argument('bam')
+    s.add_argument('ctg_anno', help='contig annotation list')
+    s.add_argument('--agp', nargs=2, action='append', required=True,
+                   metavar=('TAG', 'AGP'),
+                   help='corrected AGP to compare (repeatable)')
+    s.add_argument('--hap_prefixes', required=True,
+                   help='comma-separated haplotype sequence-name '
+                        'prefixes')
+    s.add_argument('--resolution', type=int, default=10000)
+    s = pmsub.add_parser('mock_delta_chrs_only')
+    s.add_argument('query_agp')
+    s.add_argument('query_fasta')
+    s.add_argument('ref_fasta')
+    s.add_argument('ref_chrom_pattern')
 
     pa = sub.add_parser(
         'allhic',
@@ -836,6 +865,22 @@ def cmd_sim(args) -> int:
             collapsed_ratio=args.collapsed_ratio,
             weights=[float(w) for w in args.weights.split(',')],
             seed=args.seed, strict=args.strict)
+    elif c == 'allelic_contig_statistics':
+        h.allelic_contig_statistics(
+            args.result, args.allele_table, args.tag,
+            overlap_len_cutoff=args.overlap_len_cutoff,
+            link_cutoff=args.link_cutoff)
+    elif c == 'get_discordant_HiC_links':
+        h.get_discordant_hic_links(args.agp_truth, args.agp, args.bam,
+                                   bin_size=args.bin_size)
+    elif c == 'correction_analysis':
+        h.correction_analysis(args.raw, args.bam, args.ctg_anno,
+                              args.agp,
+                              args.hap_prefixes.split(','),
+                              resolution=args.resolution)
+    elif c == 'mock_delta_chrs_only':
+        h.mock_delta_chrs_only(args.query_agp, args.query_fasta,
+                               args.ref_fasta, args.ref_chrom_pattern)
     return 0
 
 

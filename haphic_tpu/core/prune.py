@@ -195,6 +195,14 @@ def remove_allelic_links(asm: Assembly, frags: Fragments, full: COO,
     ratios = concordance_ratios(coords, asm.lengths, nwindows)
     enough = (coords.total_counts >= max_read_pairs) | \
              (coords.counts >= min_read_pairs)
+    if logger.isEnabledFor(logging.DEBUG):
+        # per-pair diagnostics consumed by `haphic sim
+        # allelic_contig_statistics` (parity: :582,592-593)
+        for ui, uj, r in zip(coords.upair_i, coords.upair_j, ratios):
+            pair = (int(ui), int(uj))
+            logger.debug('%s %s links=%d concordance_ratio=%s',
+                         asm.names[pair[0]], asm.names[pair[1]],
+                         int(full_map.get(pair, 0)), r)
     allelic_sel = enough & (ratios > concordance_ratio_cutoff)
     allelic_pairs = [(int(a), int(b)) for a, b in
                      zip(coords.upair_i[allelic_sel],

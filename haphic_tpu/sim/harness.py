@@ -2018,3 +2018,607 @@ def haplotype_kmers(ref: str, asm: str, kmer_size: int = 201,
                     name, start, start + bin_size - 1, primary, alpha,
                     dict(counts)))
     return written
+
+
+# ---------------------------------------------------------------------------
+# Allelic-pruning ROC (simulation/allelic_contig_statistics.py)
+
+def _parse_truth_ctg(ctg: str) -> Tuple[str, str, Tuple[int, int], int]:
+    """Truth-encoded id `{Chrom}_{hap}_{frag}_{start}_{end}_{ori}_{len}`
+    → (homolog group, source chromosome, source span, length)."""
+    el = ctg.split('_')
+    return (el[0], '_'.join(el[:2]), (int(el[3]), int(el[4])),
+            int(el[6]))
+
+
+def allelic_contig_statistics(result: str, allele_table: str, tag: str,
+                              overlap_len_cutoff: int = 10000,
+                              link_cutoff: int = 20, outdir: str = '.'
+                              ) -> Tuple[str, str]:
+    """ROC of concordance-ratio allelic detection vs truth overlaps,
+    compared against an ALLHiC-style synteny allele table
+    (simulation/allelic_contig_statistics.py). ``result`` is a cluster
+    stage ``--verbose`` log; pairs are read from its
+    `<ctg1> <ctg2> links=N concordance_ratio=R` lines (any log prefix).
+    Writes concordance_ratio.txt and ROC.txt; returns their paths."""
+    synteny: set = set()
+    with open(allele_table) as f:
+        for line in f:
+            cols = line.split()
+            for i in range(2, len(cols)):
+                for j in range(i + 1, len(cols)):
+                    synteny.add(tuple(sorted((cols[i], cols[j]))))
+
+    info_cache: Dict[str, Tuple[str, str, Tuple[int, int], int]] = {}
+    total_pairs: set = set()
+    allelic_pairs: set = set()
+    allhic_positive: set = set()
+    ranked: List[Tuple[Tuple[str, str], float]] = []
+
+    cr_path = os.path.join(outdir, 'concordance_ratio.txt')
+    with open(result) as fin, open(cr_path, 'w') as fout:
+        for line in fin:
+            if 'concordance_ratio=' not in line:
+                continue
+            cols = line.split()
+            li = next((k for k, c in enumerate(cols)
+                       if c.startswith('links=')), None)
+            if li is None or li < 2:
+                continue
+            ctg_1, ctg_2 = cols[li - 2], cols[li - 1]
+            links = int(cols[li].split('=')[-1])
+            ratio = float(cols[li + 1].split('=')[-1])
+            pair = tuple(sorted((ctg_1, ctg_2)))
+            is_synteny = pair in synteny
+
+            for c in (ctg_1, ctg_2):
+                if c not in info_cache:
+                    info_cache[c] = _parse_truth_ctg(c)
+            homo_1, chr_1, span_1, len_1 = info_cache[ctg_1]
+            homo_2, chr_2, span_2, len_2 = info_cache[ctg_2]
+            if homo_1 != homo_2:
+                continue
+
+            ovl_len = ovl_pct = 0
+            if chr_1 != chr_2:
+                type_ = 'Inter_homo'
+                lo = max(span_1[0], span_2[0])
+                hi = min(span_1[1], span_2[1])
+                if hi >= lo:
+                    ovl_len = hi - lo + 1
+                    ovl_pct = ovl_len * 2 / (len_1 + len_2) * 100
+            else:
+                type_ = 'Intra_chrom'
+
+            if ovl_pct == 0:
+                interval = '0'
+            else:
+                hi_edge = min(int((ovl_pct - 1e-12) // 10) * 10 + 10,
+                              100)
+                interval = '({}, {}]'.format(hi_edge - 10, hi_edge)
+
+            if links >= link_cutoff:
+                if ovl_len >= overlap_len_cutoff:
+                    total_pairs.add(pair)
+                    allelic_pairs.add(pair)
+                    if is_synteny:
+                        allhic_positive.add(pair)
+                    ranked.append((pair, ratio))
+                elif type_ == 'Intra_chrom':
+                    total_pairs.add(pair)
+                    if is_synteny:
+                        allhic_positive.add(pair)
+                    ranked.append((pair, ratio))
+
+            fout.write('{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                tag, ctg_1, ctg_2, type_, ovl_pct, interval, ratio,
+                links, is_synteny))
+
+    # ROC over concordance-ratio cutoffs 0, 0.05, ..., 1.0 (seeded
+    # shuffle before the descending sort for robust tie-breaking)
+    random.seed(12345)
+    random.shuffle(ranked)
+    ranked.sort(key=lambda x: x[1], reverse=True)
+
+    roc_path = os.path.join(outdir, 'ROC.txt')
+    with open(roc_path, 'w') as fout:
+        fout.write('HapHiC\t{}\t{}\t{}\t{}\n'.format(tag, 1, 0, 0))
+        for step in range(21):
+            param = step * 5 / 100
+            tp_set: set = set()
+            fp_set: set = set()
+            for pair, ratio in ranked:
+                if ratio <= param:
+                    break
+                if pair in allelic_pairs:
+                    tp_set.add(pair)
+                else:
+                    fp_set.add(pair)
+            fn = allelic_pairs - tp_set
+            tn = (total_pairs - allelic_pairs) - (tp_set | fp_set)
+            tpr = len(tp_set) / (len(tp_set) + len(fn)) \
+                if (tp_set or fn) else 0.0
+            fpr = len(fp_set) / (len(fp_set) + len(tn)) \
+                if (fp_set or tn) else 0.0
+            fout.write('HapHiC\t{}\t{}\t{}\t{}\n'.format(
+                tag, param, tpr, fpr))
+
+        tp_set = allhic_positive & allelic_pairs
+        fp_set = allhic_positive - allelic_pairs
+        fn = allelic_pairs - tp_set
+        tn = (total_pairs - allelic_pairs) - (tp_set | fp_set)
+        tpr = len(tp_set) / (len(tp_set) + len(fn)) \
+            if (tp_set or fn) else 0.0
+        fpr = len(fp_set) / (len(fp_set) + len(tn)) \
+            if (fp_set or tn) else 0.0
+        fout.write('ALLHiC\t{}\t1\t{}\t{}\n'.format(tag, tpr, fpr))
+    return cr_path, roc_path
+
+
+# ---------------------------------------------------------------------------
+# Scaffold contact-structure fidelity (simulation/get_discordant_HiC_links.py)
+
+def _agp_bin_maps(agp: str, bin_size: int):
+    """AGP → (ctg → [(lo, hi, scaffold, bin)], scaffold → bin set).
+
+    Scaffolds whose truth-encoded contigs are predominantly reversed
+    are flipped first, and cumulative gap lengths are subtracted, so
+    bin indices are comparable across scaffolders
+    (simulation/get_discordant_HiC_links.py parse_agp)."""
+    rows: 'collections.OrderedDict[str, list]' = collections.OrderedDict()
+    with open(agp) as f:
+        for line in f:
+            if not line.strip() or line.startswith('#'):
+                continue
+            cols = line.split()
+            rows.setdefault(cols[0], []).append(cols)
+
+    ctg_bins: Dict[str, List[Tuple[int, int, str, int]]] = \
+        collections.defaultdict(list)
+    scaf_bins: Dict[str, set] = collections.defaultdict(set)
+    for scaffold, cols_list in rows.items():
+        fwd = rev = 0
+        for cols in cols_list:
+            if cols[4] != 'W':
+                continue
+            span = int(cols[2]) - int(cols[1]) + 1
+            if cols[8] in cols[5].split('_'):
+                fwd += span
+            else:
+                rev += span
+        if rev > fwd:
+            flipped = []
+            scaffold_end = int(cols_list[-1][2])
+            for k, cols in enumerate(reversed(cols_list)):
+                s, e = int(cols[1]), int(cols[2])
+                cols = list(cols)
+                cols[1] = str(scaffold_end - e + 1)
+                cols[2] = str(scaffold_end - s + 1)
+                cols[3] = str(k + 1)
+                if cols[4] == 'W':
+                    cols[8] = '+' if cols[8] == '-' else '-'
+                flipped.append(cols)
+            cols_list = flipped
+
+        gap_len = 0
+        for cols in cols_list:
+            if cols[4] in ('U', 'N'):
+                gap_len = int(cols[5])
+                continue
+            order = int(cols[3])
+            offset = (order - 1) // 2 * gap_len
+            start = int(cols[1]) - offset
+            end = int(cols[2]) - offset
+            ctg, orient = cols[5], cols[8]
+            for b in range(-(-start // bin_size) - 1,
+                           -(-end // bin_size)):
+                scaf_bins[scaffold].add(b)
+                lo = max(start, b * bin_size + 1)
+                hi = min(end, (b + 1) * bin_size)
+                if orient == '+':
+                    ctg_bins[ctg].append(
+                        (lo - start + 1, hi - start + 1, scaffold, b))
+                else:
+                    ctg_bins[ctg].append(
+                        (end - hi + 1, end - lo + 1, scaffold, b))
+    return ctg_bins, scaf_bins
+
+
+def get_discordant_hic_links(truth_agp: str,
+                             agps: Sequence[Tuple[str, str]], bam: str,
+                             bin_size: int = 500000, outdir: str = '.',
+                             out: TextIO = sys.stdout
+                             ) -> Tuple[str, str]:
+    """Compare binned Hi-C contact structure of scaffolding results
+    against the truth AGP (simulation/get_discordant_HiC_links.py,
+    generalized from the paper's fixed HapHiC/fastsort/YaHS trio to any
+    `(tag, agp)` list). One BAM pass bins every read1 pair under the
+    truth map and under each result map; intra-scaffold links outside
+    the truth's per-bin-distance [min, max] envelope and inter-scaffold
+    link-count histogram surplus vs truth are reported. Writes stat.txt
+    and summary.txt."""
+    from haphic_tpu.io.bam import _PyBam
+
+    maps = [('Truth', _agp_bin_maps(truth_agp, bin_size))]
+    maps += [(tag, _agp_bin_maps(agp, bin_size)) for tag, agp in agps]
+    link_dicts = {tag: collections.defaultdict(int) for tag, _ in maps}
+
+    def locate(ctg_bins, ctg, pos):
+        for lo, hi, scaffold, b in ctg_bins.get(ctg, ()):
+            if lo <= pos <= hi:
+                return scaffold, b
+        return None
+
+    reader = _PyBam(bam)
+    names = reader.ref_names
+    for ref, pos, mref, mpos, flag, _mapq in reader.records(1 << 16):
+        sel = (flag & 0x40).astype(bool) & (ref >= 0) & (mref >= 0)
+        for r, p, mr, mp in zip(ref[sel].tolist(),
+                                pos[sel].tolist(),
+                                mref[sel].tolist(),
+                                mpos[sel].tolist()):
+            a, b = names[r], names[mr]
+            for tag, (ctg_bins, _sb) in maps:
+                x = locate(ctg_bins, a, p + 1)
+                y = locate(ctg_bins, b, mp + 1)
+                if x is None or y is None:
+                    continue
+                link_dicts[tag][tuple(sorted((x, y)))] += 1
+
+    # stat.txt + per-tag intra (by bin distance) / inter accumulators
+    intra: Dict[int, Dict[str, List[int]]] = collections.defaultdict(dict)
+    inter: Dict[str, List[int]] = collections.defaultdict(list)
+    stat_path = os.path.join(outdir, 'stat.txt')
+    with open(stat_path, 'w') as fstat:
+        for tag, _ in maps:
+            for ((s1, b1), (s2, b2)), n in link_dicts[tag].items():
+                kind = 'intra' if s1 == s2 else 'inter'
+                if s1 == s2:
+                    intra[b2 - b1].setdefault(tag, []).append(n)
+                else:
+                    inter[tag].append(n)
+                fstat.write('{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                    s1, b1, s2, b2, n, kind, tag))
+
+    truth_inter_hist: Dict[int, int] = collections.defaultdict(int)
+    for n in inter['Truth']:
+        truth_inter_hist[n] += 1
+
+    summary_path = os.path.join(outdir, 'summary.txt')
+    with open(summary_path, 'w') as fsum:
+        def emit(line=''):
+            fsum.write(line + '\n')
+            out.write(line + '\n')
+
+        for tag, (_cb, scaf_bins) in maps[1:]:
+            intra_nlinks = intra_bad_links = intra_bad_bins = 0
+            for dist, by_tag in intra.items():
+                truth_list = by_tag.get('Truth', [])
+                mine = by_tag.get(tag, [])
+                intra_nlinks += sum(mine)
+                lo = min(truth_list) if truth_list else None
+                hi = max(truth_list) if truth_list else None
+                for n in mine:
+                    if lo is None or not lo <= n <= hi:
+                        intra_bad_links += n
+                        intra_bad_bins += 1
+
+            counts: Dict[int, int] = collections.defaultdict(int)
+            for n in inter[tag]:
+                counts[n] += 1
+            inter_bad_links = inter_bad_bins = 0
+            for n in set(truth_inter_hist) | set(counts):
+                d = counts[n] - truth_inter_hist[n]
+                if d > 0:
+                    inter_bad_bins += d
+                    inter_bad_links += d * n
+            inter_nlinks = sum(inter[tag])
+
+            nb = sum(len(s) for s in scaf_bins.values())
+            intra_nbins = sum(
+                len(s) + len(s) * (len(s) - 1) // 2
+                for s in scaf_bins.values())
+            inter_nbins = nb + nb * (nb - 1) // 2 - intra_nbins
+
+            emit('\n###### {} ######'.format(tag))
+            for label, n_links, n_bins, bad_links, bad_bins in (
+                    ('intra', intra_nlinks, intra_nbins,
+                     intra_bad_links, intra_bad_bins),
+                    ('inter', inter_nlinks, inter_nbins,
+                     inter_bad_links, inter_bad_bins)):
+                emit('\tTotal number of {}-scaffold Hi-C links: {}'
+                     .format(label, n_links))
+                emit('\tTotal number of {}-scaffold bins: {}'
+                     .format(label, n_bins))
+                emit('\tNumber of differential {}-scaffold Hi-C links:'
+                     ' {} ({} %)'.format(
+                         label, bad_links,
+                         bad_links / n_links * 100 if n_links else 0))
+                emit('\tNumber of differential {}-scaffold bins: {}'
+                     ' ({} %)'.format(
+                         label, bad_bins,
+                         bad_bins / n_bins * 100 if n_bins else 0))
+    return stat_path, summary_path
+
+
+# ---------------------------------------------------------------------------
+# Correction comparison vs other tools (simulation/correction_analysis.py)
+
+def _agp_break_points(agp: str, anno: set, lens: Dict[str, int]
+                      ) -> Tuple[Dict[str, List[int]], set, set]:
+    """Per-contig break points recovered from a corrected AGP. Handles
+    both naming styles: `<ctg>_break<N>` parts (AutoHiC / 3D-DNA
+    lineage) and `<ctg>_<start>_<end>` parts (ALLHiC corrector);
+    unsuffixed contigs in ``anno`` count as unbroken."""
+    corrections: Dict[str, List[int]] = {}
+    broken: set = set()
+    unbroken: set = set()
+    with open(agp) as f:
+        for line in f:
+            if not line.strip() or line.startswith('#'):
+                continue
+            cols = line.split()
+            if cols[4] != 'W':
+                continue
+            ctg = cols[5]
+            if ctg in anno:
+                corrections.setdefault(ctg, [])
+                unbroken.add(ctg)
+                continue
+            parts = ctg.rsplit('_', 1)
+            if len(parts) == 2 and parts[0] in anno and \
+                    parts[1].startswith('break'):
+                base = parts[0]
+                broken.add(base)
+                # component end of each non-final part is a break
+                # point; parts appear in order, so offsets accumulate
+                # from the previous (absolute) break point
+                end = int(cols[7])
+                prior = corrections.get(base)
+                offset = prior[-1] if prior else 0
+                if offset + end < lens[base]:
+                    corrections.setdefault(base, []).append(
+                        offset + end)
+                continue
+            parts = ctg.rsplit('_', 2)
+            if len(parts) == 3 and parts[0] in anno and \
+                    parts[1].isdigit() and parts[2].isdigit():
+                base, end = parts[0], int(parts[2])
+                broken.add(base)
+                if end < lens[base]:
+                    corrections.setdefault(base, []).append(end)
+    return corrections, broken, unbroken
+
+
+def correction_analysis(raw_fasta: str, bam: str, ctg_anno: str,
+                        agps: Sequence[Tuple[str, str]],
+                        hap_prefixes: Sequence[str],
+                        resolution: int = 10000, outdir: str = '.'
+                        ) -> Tuple[str, str]:
+    """Chimeric-contig correction comparison across tools
+    (simulation/correction_analysis.py, generalized from the paper's
+    fixed AutoHiC/ALLHiC pair on GenBank haplotype accessions to any
+    `(tag, corrected_agp)` list and any haplotype name prefixes).
+
+    ``ctg_anno`` lists contigs under `<type>:` headers (e.g.
+    `chimeric:` / `nonchimeric:`). For every annotated contig the BAM
+    pass accumulates intra-contig spanning coverage and a stacked
+    per-haplotype inter-contig Hi-C link profile at ``resolution``;
+    each tool's AGP contributes its recovered break points. Writes
+    correction_analysis.txt (plot table) and venn.txt."""
+    import numpy as np
+    from haphic_tpu.io.bam import _PyBam
+
+    lens: Dict[str, int] = {}
+    for name, seq in iter_fasta(raw_fasta):
+        lens[name] = len(seq)
+
+    anno: Dict[str, str] = {}
+    ctg_type = ''
+    with open(ctg_anno) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.endswith(':'):
+                ctg_type = line[:-1]
+            elif line in lens:
+                anno[line] = ctg_type
+    anno_set = set(anno)
+
+    results = [(tag, _agp_break_points(agp, anno_set, lens))
+               for tag, agp in agps]
+
+    nhaps = len(hap_prefixes)
+    cov = {c: np.zeros(lens[c] // resolution + 1, np.int64)
+           for c in anno}
+    links = {c: np.zeros((nhaps + 1, lens[c] // resolution + 1),
+                         np.int64) for c in anno}
+
+    def hap_index(name: str) -> int:
+        for k, pre in enumerate(hap_prefixes):
+            if name.startswith(pre):
+                return k
+        return nhaps
+
+    reader = _PyBam(bam)
+    names = reader.ref_names
+    for ref, pos, mref, mpos, flag, _mapq in reader.records(1 << 16):
+        sel = (flag & 0x40).astype(bool) & (ref >= 0) & (mref >= 0)
+        for r, p, mr, mp in zip(ref[sel].tolist(), pos[sel].tolist(),
+                                mref[sel].tolist(),
+                                mpos[sel].tolist()):
+            a, b = names[r], names[mr]
+            if a == b:
+                if a in cov:
+                    lo, hi = sorted((p, mp))
+                    cov[a][lo // resolution:hi // resolution + 1] += 1
+            else:
+                if a in links:
+                    links[a][hap_index(b), p // resolution] += 1
+                if b in links:
+                    links[b][hap_index(a), mp // resolution] += 1
+
+    table_path = os.path.join(outdir, 'correction_analysis.txt')
+    with open(table_path, 'w') as fo:
+        max_cov = {c: int(cov[c].max()) if len(cov[c]) else 0
+                   for c in cov}
+        for ctg, arr in cov.items():
+            for n, c in enumerate(arr.tolist()):
+                fo.write('{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                    ctg, n * resolution + 1, (n + 1) * resolution, 0,
+                    c, 'Spanning_coverage', 'Spanning_coverage'))
+        hap_labels = ['Hap{}'.format(k + 1) for k in range(nhaps)] + \
+            ['Other_chrom']
+        for ctg, arr in links.items():
+            if not max_cov[ctg]:
+                continue
+            totals = arr.sum(axis=0)
+            for n in range(arr.shape[1]):
+                coef = totals[n] / max_cov[ctg]
+                if not coef:
+                    continue
+                lo = 0.0
+                stack = arr[:, n] / coef
+                for k, label in enumerate(hap_labels):
+                    hi = max_cov[ctg] if k == nhaps else lo + stack[k]
+                    fo.write('{}\t{}\t{}\t{}\t{}\t{}\t{}\n'.format(
+                        ctg, n * resolution + 1, (n + 1) * resolution,
+                        lo, hi, 'nHiC_links', label))
+                    lo = hi
+        for tag, (corrections, _broken, _unbroken) in results:
+            for ctg, break_points in corrections.items():
+                for bp in break_points:
+                    fo.write('{}\t{}\tNA\t{}\tNA\tBreakpoint\t{}\n'
+                             .format(ctg, bp, max_cov.get(ctg, 0),
+                                     tag))
+
+    venn_path = os.path.join(outdir, 'venn.txt')
+    with open(venn_path, 'w') as fo:
+        fo.write('Contig\tType\t{}\n'.format(
+            '\t'.join(tag for tag, _ in results)))
+        for ctg, t in anno.items():
+            row = ['yes' if ctg in broken else 'no'
+                   for _, (_c, broken, _u) in results]
+            fo.write('{}\t{}\t{}\n'.format(ctg, t, '\t'.join(row)))
+    return table_path, venn_path
+
+
+def mock_delta_chrs_only(query_agp: str, query_fasta: str,
+                         ref_fasta: str, ref_chrom_pattern: str,
+                         outdir: str = '.') -> str:
+    """mock_delta restricted to reference chromosomes matching
+    ``ref_chrom_pattern`` and to scaffolds holding ≥2 contigs
+    (simulation/mock_delta_chrs_only.py). Emits `<base>.chrs.nogaps`
+    FASTAs for both sides and mock.delta."""
+    pattern = re.compile(ref_chrom_pattern)
+    alignments: 'collections.OrderedDict[str, list]' = \
+        collections.OrderedDict()
+    per_ref: Dict[str, List[Tuple[str, int, int]]] = \
+        collections.defaultdict(list)
+    offsets: Dict[str, int] = collections.defaultdict(int)
+    ref_chrom_set: set = set()
+    with open(query_agp) as f:
+        for line in f:
+            if line.startswith('#') or not line.strip():
+                continue
+            cols = line.split()
+            scaf = cols[0]
+            if cols[4] == 'W':
+                off = offsets[scaf]
+                s, e = int(cols[1]) - off, int(cols[2]) - off
+                ctg, ctg_len, aln_ori = cols[5], int(cols[7]), cols[8]
+                ref_chrom, order, ctg_ori = ctg.rsplit('_', 2)
+                orient = '+' if aln_ori == ctg_ori else '-'
+                alignments.setdefault(scaf, []).append(
+                    (s, e, ctg, orient))
+                per_ref[ref_chrom].append((ctg, ctg_len,
+                                           int(order[3:])))
+                if pattern.match(ref_chrom):
+                    ref_chrom_set.add(ref_chrom)
+            elif cols[4] in ('U', 'N'):
+                offsets[scaf] += int(cols[5])
+
+    scaffold_set = {s for s, alns in alignments.items()
+                    if len(alns) >= 2}
+
+    # only matching chromosomes / retained scaffolds hit the FASTAs
+    base, ext = os.path.splitext(os.path.basename(ref_fasta))
+    ref_chrs = os.path.join(outdir,
+                            '{}.chrs.nogaps{}'.format(base, ext))
+    ref_lens: Dict[str, int] = {}
+    with open(ref_chrs, 'w') as fo:
+        for name, seq in iter_fasta(ref_fasta):
+            if name not in ref_chrom_set:
+                continue
+            seq = seq.upper().replace('N', '')
+            fo.write('>{}\n{}\n'.format(name, seq))
+            ref_lens[name] = len(seq)
+    base, ext = os.path.splitext(os.path.basename(query_fasta))
+    query_chrs = os.path.join(outdir,
+                              '{}.chrs.nogaps{}'.format(base, ext))
+    query_lens: Dict[str, int] = {}
+    with open(query_chrs, 'w') as fo:
+        for name, seq in iter_fasta(query_fasta):
+            if name not in scaffold_set:
+                continue
+            seq = seq.upper().replace('N', '')
+            fo.write('>{}\n{}\n'.format(name, seq))
+            query_lens[name] = len(seq)
+
+    ctg_pos: Dict[str, Tuple[str, int, int]] = {}
+    for ref_chrom, ctgs in per_ref.items():
+        if ref_chrom not in ref_chrom_set:
+            continue
+        start = 1
+        for ctg, ctg_len, _order in sorted(ctgs, key=lambda x: x[2]):
+            ctg_pos[ctg] = (ref_chrom, start, start + ctg_len - 1)
+            start += ctg_len
+
+    path = os.path.join(outdir, 'mock.delta')
+    with open(path, 'w') as f:
+        f.write('{} {}\nNUCMER\n'.format(os.path.abspath(ref_chrs),
+                                         os.path.abspath(query_chrs)))
+
+        def emit(scaf, chrom, orient, cs, ce, ss, se):
+            f.write('>{} {} {} {}\n'.format(chrom, scaf,
+                                            ref_lens[chrom],
+                                            query_lens[scaf]))
+            if orient == '+':
+                f.write('{} {} {} {} 0 0 0\n0\n'.format(cs, ce, ss, se))
+            else:
+                f.write('{} {} {} {} 0 0 0\n0\n'.format(ce, cs, se, ss))
+
+        for scaf, alns in alignments.items():
+            if scaf not in scaffold_set:
+                continue
+            last_se = last_ce = 0
+            last_chrom = last_ori = ''
+            m_cs = m_ss = 0
+            for s, e, ctg, orient in alns:
+                if ctg.rsplit('_', 2)[0] not in ref_chrom_set:
+                    continue
+                chrom, cs, ce = ctg_pos[ctg]
+                if orient == '-':
+                    cs, ce = ce, cs
+                    contiguous = last_ce == cs + 1
+                else:
+                    contiguous = last_ce == cs - 1
+                if last_chrom == '' or (chrom == last_chrom and
+                                        contiguous and
+                                        last_se == s - 1 and
+                                        last_ori == orient):
+                    if last_chrom == '':
+                        m_cs, m_ss = cs, s
+                        last_chrom, last_ori = chrom, orient
+                    last_ce, last_se = ce, e
+                    continue
+                emit(scaf, last_chrom, last_ori, m_cs, last_ce, m_ss,
+                     last_se)
+                m_cs, m_ss = cs, s
+                last_ce, last_se = ce, e
+                last_chrom, last_ori = chrom, orient
+            if last_chrom:
+                emit(scaf, last_chrom, last_ori, m_cs, last_ce, m_ss,
+                     last_se)
+    return path

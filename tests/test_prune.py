@@ -190,3 +190,26 @@ def test_reduce_inter_hap():
     assert list(zip(out.i, out.j)) == [(0, 1), (2, 3)]
     out2 = prune.reduce_inter_hap_links_frag(flank, frags, hap, 0.5)
     assert out2.w.tolist() == [10.0, 4.0, 6.0]
+
+
+def test_remove_allelic_verbose_log(caplog):
+    """--verbose emits `<ctg1> <ctg2> links=N concordance_ratio=R`
+    per evaluated pair (parity: :582,592-593), the contract consumed
+    by `haphic sim allelic_contig_statistics`."""
+    import logging as _logging
+
+    asm, records = _sim_diploid(12)
+    n = len(asm)
+    frags = _make_frags(asm)
+    coords = _coords_from_records(records, asm, 200)
+    full = _full_coo(records, n)
+    flank = COO(i=full.i.copy(), j=full.j.copy(), w=full.w.copy())
+    with caplog.at_level(_logging.DEBUG, logger='haphic_tpu.core.prune'):
+        prune.remove_allelic_links(asm, frags, full, flank, coords,
+                                   np.arange(n), 2)
+    lines = [r.getMessage() for r in caplog.records
+             if 'concordance_ratio=' in r.getMessage()]
+    assert len(lines) == len(coords.upair_i)
+    cols = lines[0].split()
+    assert cols[2].startswith('links=') and \
+        cols[3].startswith('concordance_ratio=')

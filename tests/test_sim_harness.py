@@ -716,3 +716,186 @@ def test_haplotype_kmers(tmp_path):
     # the contig covers hap2's divergent region -> primary source hap2
     assert rows[0][3] == 'hap2'
     assert 0 < float(rows[0][4]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# round-1 gap closure: the four remaining reference scripts
+
+
+def test_allelic_contig_statistics(tmp_path):
+    a1 = 'Chr1_1_1_1_10000_+_10000'     # hap1, 1..10000
+    a2 = 'Chr1_2_1_1_10000_+_10000'     # hap2, full overlap with a1
+    b1 = 'Chr1_1_2_10001_20000_+_10000'  # same hap as a1 (intra-chrom)
+    log = tmp_path / 'cluster.log'
+    log.write_text(
+        '2026-01-01 00:00:00 <prune> [remove_allelic_links] '
+        '{} {} links=30 concordance_ratio=0.8\n'.format(a1, a2) +
+        '2026-01-01 00:00:00 <prune> [remove_allelic_links] '
+        '{} {} links=25 concordance_ratio=0.6\n'.format(a1, b1) +
+        # below link cutoff -> ignored in the ROC
+        '2026-01-01 00:00:00 <prune> [remove_allelic_links] '
+        '{} {} links=3 concordance_ratio=0.9\n'.format(a2, b1))
+    table = tmp_path / 'Allele.ctg.table'
+    table.write_text('Chr1\tgene1\t{}\t{}\n'.format(a1, a2))
+    cr, roc = h.allelic_contig_statistics(
+        str(log), str(table), '1M', outdir=str(tmp_path))
+
+    rows = [l.split('\t') for l in open(cr).read().splitlines()]
+    assert len(rows) == 3
+    by_pair = {(r[1], r[2]): r for r in rows}
+    assert by_pair[(a1, a2)][3] == 'Inter_homo'
+    assert by_pair[(a1, a2)][5] == '(90, 100]'
+    assert by_pair[(a1, b1)][3] == 'Intra_chrom'
+    assert by_pair[(a1, b1)][5] == '0'
+    assert by_pair[(a1, a2)][8] == 'True'
+
+    roc_rows = [l.split('\t') for l in open(roc).read().splitlines()]
+    assert roc_rows[0] == ['HapHiC', '1M', '1', '0', '0']
+    by_param = {r[2]: (float(r[3]), float(r[4])) for r in roc_rows
+                if r[0] == 'HapHiC'}
+    # cutoff 0.5: both pairs detected -> TPR=1, FPR=1
+    assert by_param['0.5'] == (1.0, 1.0)
+    # cutoff 0.7: only the true allelic pair survives
+    assert by_param['0.7'] == (1.0, 0.0)
+    # ALLHiC row: the allele table marks exactly the true pair
+    allhic = [r for r in roc_rows if r[0] == 'ALLHiC'][0]
+    assert (float(allhic[3]), float(allhic[4])) == (1.0, 0.0)
+
+
+def _discordant_fixture(tmp_path):
+    from .bamutil import bam_record, write_bam
+    ctga = 'C_1_1_1_100_+_100'
+    ctgb = 'C_1_2_101_200_+_100'
+    # truth written fully reversed: the majority-orientation flip must
+    # normalize it back to ctgA(+), ctgB(+)
+    (tmp_path / 'truth.agp').write_text(
+        's1\t1\t100\t1\tW\t{}\t1\t100\t-\n'.format(ctgb) +
+        's1\t101\t200\t2\tU\t100\tscaffold\tyes\tproximity_ligation\n'
+        's1\t201\t300\t3\tW\t{}\t1\t100\t-\n'.format(ctga))
+    (tmp_path / 'good.agp').write_text(
+        's1\t1\t100\t1\tW\t{}\t1\t100\t+\n'.format(ctga) +
+        's1\t101\t200\t2\tU\t100\tscaffold\tyes\tproximity_ligation\n'
+        's1\t201\t300\t3\tW\t{}\t1\t100\t+\n'.format(ctgb))
+    (tmp_path / 'bad.agp').write_text(
+        'sA\t1\t100\t1\tW\t{}\t1\t100\t+\n'.format(ctga) +
+        'sB\t1\t100\t1\tW\t{}\t1\t100\t+\n'.format(ctgb))
+    bam = tmp_path / 'hic.bam'
+    recs = [bam_record(0, 10, 0, 50, 0x40 | 0x1) for _ in range(3)]
+    recs += [bam_record(0, 20, 1, 30, 0x40 | 0x1) for _ in range(2)]
+    write_bam(str(bam), [ctga, ctgb], [100, 100], recs)
+    return bam
+
+
+def test_get_discordant_hic_links(tmp_path):
+    import io as _io
+    bam = _discordant_fixture(tmp_path)
+    out = _io.StringIO()
+    stat, summary = h.get_discordant_hic_links(
+        str(tmp_path / 'truth.agp'),
+        [('Good', str(tmp_path / 'good.agp')),
+         ('Bad', str(tmp_path / 'bad.agp'))],
+        str(bam), bin_size=100, outdir=str(tmp_path), out=out)
+
+    rows = [l.split('\t') for l in open(stat).read().splitlines()]
+    truth = {(r[0], r[1], r[2], r[3]): (int(r[4]), r[5]) for r in rows
+             if r[6] == 'Truth'}
+    # 3 same-bin pairs + 2 adjacent-bin pairs, all intra under truth
+    assert truth[('s1', '0', 's1', '0')] == (3, 'intra')
+    assert truth[('s1', '0', 's1', '1')] == (2, 'intra')
+    good = {k: v for k, v in
+            ((tuple(r[:4]), (int(r[4]), r[5])) for r in rows)
+            if any(r[6] == 'Good' and tuple(r[:4]) == k for r in rows)}
+    assert good == truth
+
+    text = open(summary).read()
+    assert text == out.getvalue()
+    blocks = text.split('######')
+    good_block = blocks[blocks.index(' Good ') + 1]
+    bad_block = blocks[blocks.index(' Bad ') + 1]
+    assert 'differential intra-scaffold Hi-C links: 0 ' in good_block
+    assert 'differential inter-scaffold Hi-C links: 0 ' in good_block
+    # Bad splits the cross-contig pairs into inter-scaffold links the
+    # truth never has
+    assert 'differential inter-scaffold Hi-C links: 2 ' in bad_block
+
+
+def test_correction_analysis(tmp_path):
+    from .bamutil import bam_record, write_bam
+    raw = tmp_path / 'raw.fa'
+    raw.write_text('>ctgX\n{}\n>hapA_chr1\n{}\n>hapB_chr1\n{}\n'.format(
+        'A' * 30000, 'C' * 1000, 'G' * 1000))
+    anno = tmp_path / 'anno.txt'
+    anno.write_text('chimeric:\nctgX\nnonchimeric:\n')
+    # AutoHiC-style part naming
+    (tmp_path / 't1.agp').write_text(
+        's1\t1\t15000\t1\tW\tctgX_break1\t1\t15000\t+\n'
+        's1\t15001\t30000\t2\tW\tctgX_break2\t1\t15000\t+\n')
+    # ALLHiC-style part naming
+    (tmp_path / 't2.agp').write_text(
+        's1\t1\t15000\t1\tW\tctgX_1_15000\t1\t15000\t+\n'
+        's1\t15001\t30000\t2\tW\tctgX_15001_30000\t1\t15000\t+\n')
+    bam = tmp_path / 'hic.bam'
+    recs = [bam_record(0, 1000, 0, 12000, 0x40 | 0x1),
+            bam_record(0, 5000, 1, 10, 0x40 | 0x1),
+            bam_record(0, 25000, 2, 10, 0x40 | 0x1)]
+    write_bam(str(bam), ['ctgX', 'hapA_chr1', 'hapB_chr1'],
+              [30000, 1000, 1000], recs)
+
+    table, venn = h.correction_analysis(
+        str(raw), str(bam), str(anno),
+        [('AutoHiC', str(tmp_path / 't1.agp')),
+         ('ALLHiC', str(tmp_path / 't2.agp'))],
+        ['hapA', 'hapB'], outdir=str(tmp_path))
+
+    rows = [l.split('\t') for l in open(table).read().splitlines()]
+    cov = {int(r[1]): int(r[4]) for r in rows
+           if r[5] == 'Spanning_coverage'}
+    # intra pair spans bins 0-1 at 10 kb resolution
+    assert cov[1] == 1 and cov[10001] == 1 and cov[20001] == 0
+    bps = [(r[6], int(r[1])) for r in rows if r[5] == 'Breakpoint']
+    assert sorted(bps) == [('ALLHiC', 15000), ('AutoHiC', 15000)]
+    hap1 = [r for r in rows if r[6] == 'Hap1' and int(r[1]) == 1]
+    assert len(hap1) == 1  # the hapA link lands in ctgX bin 0
+
+    venn_rows = open(venn).read().splitlines()
+    assert venn_rows[0] == 'Contig\tType\tAutoHiC\tALLHiC'
+    assert venn_rows[1] == 'ctgX\tchimeric\tyes\tyes'
+
+
+def test_mock_delta_chrs_only_reference_parity(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(7)
+    chr1 = ''.join(rng.choice('ACGT') for _ in range(120))
+    un = ''.join(rng.choice('ACGT') for _ in range(40))
+    (tmp_path / 'ref.fa').write_text(
+        '>Chr1\n{}\n>Un\n{}\n'.format(chr1, un))
+    (tmp_path / 'scaffolds.fa').write_text(
+        '>scaffold_1\n{}\n>scaffold_2\n{}\n'.format(
+            chr1[:60] + 'N' * 10 + un + chr1[60:], chr1[:30]))
+    (tmp_path / 'q.agp').write_text(
+        'scaffold_1\t1\t60\t1\tW\tChr1_ctg1_+\t1\t60\t+\n'
+        'scaffold_1\t61\t70\t2\tU\t10\tscaffold\tyes\t'
+        'proximity_ligation\n'
+        'scaffold_1\t71\t110\t3\tW\tUn_ctg1_+\t1\t40\t+\n'
+        'scaffold_1\t111\t170\t4\tW\tChr1_ctg2_-\t1\t60\t-\n'
+        # single-contig scaffold -> dropped entirely
+        'scaffold_2\t1\t30\t1\tW\tChr1_ctg3_+\t1\t30\t+\n')
+
+    ref_mod = refbridge.load('mock_delta_chrs_only')
+    (alignments_dict, ref_chrom_dict, scaffold_set,
+     ref_chrom_set) = ref_mod.parse_agp('q.agp', 'Chr')
+    ref_chrs, ref_lens = ref_mod.parse_fasta('ref.fa', ref_chrom_set)
+    query_chrs, query_lens = ref_mod.parse_fasta('scaffolds.fa',
+                                                 scaffold_set)
+    ref_mod.mock_delta_file(alignments_dict, ref_chrom_dict, ref_lens,
+                            query_lens, scaffold_set, ref_chrom_set,
+                            ref_chrs, query_chrs)
+    expected = open('mock.delta').read()
+    os.remove('mock.delta')
+
+    ours = h.mock_delta_chrs_only('q.agp', 'scaffolds.fa', 'ref.fa',
+                                  'Chr')
+    assert open(ours).read() == expected
+    # Un and scaffold_2 never reach the no-gap FASTAs
+    assert '>Un' not in open('ref.chrs.nogaps.fa').read()
+    assert '>scaffold_2' not in open('scaffolds.chrs.nogaps.fa').read()
