@@ -28,5 +28,12 @@ parallel  device mesh setup and sharded kernels
 """
 
 from haphic_tpu._version import __version__, __update_time__
+from haphic_tpu.runtime import setup_jax
 
-__all__ = ['__version__', '__update_time__']
+# Enable the persistent XLA compilation cache for every consumer of the
+# package (CLI, pipeline, tests, benches): without it each fresh process
+# pays multi-minute cold compiles on TPU. See runtime.py for why env
+# vars alone are not sufficient here.
+setup_jax()
+
+__all__ = ['__version__', '__update_time__', 'setup_jax']

@@ -268,10 +268,3 @@ def normalize_by_length(flank: COO, frag_len: np.ndarray, flank_kbp: int) -> COO
         lj = np.minimum(lj, two_flanks)
     w = flank.w / ((li / 1e6) * (lj / 1e6))
     return COO(i=flank.i, j=flank.j, w=w)
-
-
-def concentration_adjusted(flank: COO, coords, frag_of_pair,
-                           remove_concentrated_links: bool) -> COO:
-    """Placeholder hook for concentrated-link down-weighting — the full
-    implementation lives in haphic_tpu.core.prune."""
-    return flank

@@ -89,14 +89,23 @@ def concentration_adj_ratios(coords: CoordPairs,
         run_starts = np.nonzero(new_run)[0]
         run_seg = s[run_starts]
         run_cnt = np.diff(np.append(run_starts, len(s)))
-        ratios = np.zeros(n_pairs)
-        for p in range(n_pairs):
-            cnts = run_cnt[run_seg == p]
-            if len(cnts) == 0:
-                continue
-            med = np.median(cnts)
-            conc = cnts[cnts >= 10 * med].sum() / coords.counts[p]
-            ratios[p] = 1 - conc
+        # per-pair median of run counts, fully vectorized: sort runs by
+        # (pair, count) and index the middle element(s) of each group
+        order2 = np.lexsort((run_cnt, run_seg))
+        g, v = run_seg[order2], run_cnt[order2]
+        starts = np.nonzero(np.r_[True, g[1:] != g[:-1]])[0] \
+            if len(g) else np.empty(0, np.int64)
+        glens = np.diff(np.append(starts, len(g)))
+        med = np.zeros(n_pairs)
+        if len(g):
+            lo = starts + (glens - 1) // 2
+            hi = starts + glens // 2
+            med[g[starts]] = (v[lo] + v[hi]) / 2.0
+        big = run_cnt >= 10 * med[run_seg]
+        conc_sum = np.bincount(run_seg[big], weights=run_cnt[big],
+                               minlength=n_pairs)
+        ratios = 1.0 - conc_sum / np.maximum(coords.counts, 1)
+        ratios[coords.counts == 0] = 0.0
         return ratios
 
     return one_axis(coords.ci) * one_axis(coords.cj)
@@ -111,17 +120,18 @@ def apply_concentration_adjustment(full: COO, coords: CoordPairs,
     adj = concentration_adj_ratios(coords)
     reached = coords.total_counts >= max_read_pairs
     n = int(max(full.i.max(), full.j.max())) + 1 if len(full.i) else 1
-    factor: Dict[int, float] = {}
-    for ui, uj, a, r in zip(coords.upair_i, coords.upair_j, adj, reached):
-        if r:
-            factor[int(ui) * n + int(uj)] = float(a)
-    if not factor:
+    fk = coords.upair_i[reached].astype(np.int64) * n + \
+        coords.upair_j[reached].astype(np.int64)
+    fv = adj[reached]
+    if not len(fk):
         return full
-    w = full.w.copy()
+    order = np.argsort(fk)
+    fk, fv = fk[order], fv[order]
     keys = full.i.astype(np.int64) * n + full.j.astype(np.int64)
-    for t, k in enumerate(keys.tolist()):
-        if k in factor:
-            w[t] *= factor[k]
+    idx = np.searchsorted(fk, keys)
+    hit = (idx < len(fk)) & (fk[np.minimum(idx, len(fk) - 1)] == keys)
+    w = full.w.copy()
+    w[hit] *= fv[idx[hit]]
     return COO(i=full.i, j=full.j, w=w)
 
 
@@ -197,12 +207,17 @@ def remove_allelic_links(asm: Assembly, frags: Fragments, full: COO,
              (coords.counts >= min_read_pairs)
     if logger.isEnabledFor(logging.DEBUG):
         # per-pair diagnostics consumed by `haphic sim
-        # allelic_contig_statistics` (parity: :582,592-593)
-        for ui, uj, r in zip(coords.upair_i, coords.upair_j, ratios):
+        # allelic_contig_statistics`. The reference reports
+        # concordance_ratio=0 for pairs failing the read-pair gate
+        # (HapHiC_cluster.py:598), so the gated value is logged — not
+        # the raw computed ratio — to keep downstream ROC statistics
+        # comparable (parity: :582,592-598).
+        for ui, uj, r, ok in zip(coords.upair_i, coords.upair_j, ratios,
+                                 enough):
             pair = (int(ui), int(uj))
             logger.debug('%s %s links=%d concordance_ratio=%s',
                          asm.names[pair[0]], asm.names[pair[1]],
-                         int(full_map.get(pair, 0)), r)
+                         int(full_map.get(pair, 0)), r if ok else 0)
     allelic_sel = enough & (ratios > concordance_ratio_cutoff)
     allelic_pairs = [(int(a), int(b)) for a, b in
                      zip(coords.upair_i[allelic_sel],

@@ -75,14 +75,17 @@ def mcl_sweep_sharded(mesh: Mesh, adjacency: np.ndarray,
             * mcl_mod.MXU_TILE)
     a = mcl_mod._pad_to(adjacency.astype(np.float32), n)
     with mesh:
+        # precision='high' (3-pass bf16) is the measured-fast default on
+        # TPU, same as the single-chip path (cluster/mcl.py docstring);
+        # 'highest' (6-pass fp32 emulation) is ~20x slower.
+        precision = kw.get('precision', 'high')
         pre = mcl_mod._colnorm(jnp.asarray(a))
-        pre = mcl_mod._matpower(pre, kw.get('expansion', 2),
-                                kw.get('precision', 'highest'))
+        pre = mcl_mod._matpower(pre, kw.get('expansion', 2), precision)
         pre = replicate(mesh, pre)
         infl_s = shard_batch(mesh, jnp.asarray(infl_p), axis_name)
         mats, iters, conv = mcl_mod._mcl_batched(
             pre, infl_s, kw.get('expansion', 2), kw.get('max_iter', 200),
-            float(kw.get('pruning', 1e-4)), kw.get('precision', 'highest'))
+            float(kw.get('pruning', 1e-4)), precision)
         mats = np.asarray(mats)[:B, :m, :m]
         return mcl_mod.MCLResult(matrices=mats,
                                  n_iters=np.asarray(iters)[:B],
@@ -91,7 +94,8 @@ def mcl_sweep_sharded(mesh: Mesh, adjacency: np.ndarray,
 
 def mcl_sharded_matrix(mesh: Mesh, adjacency: np.ndarray, inflation: float,
                        axis_name: str = 'data', expansion: int = 2,
-                       max_iter: int = 200, pruning: float = 1e-4):
+                       max_iter: int = 200, pruning: float = 1e-4,
+                       precision: str = 'high'):
     """Single-inflation MCL with the (n, n) matrix row-sharded across
     the mesh — for fragment counts too large for one chip's HBM. The
     expansion matmul contracts over the sharded row axis, which XLA
@@ -107,10 +111,10 @@ def mcl_sharded_matrix(mesh: Mesh, adjacency: np.ndarray, inflation: float,
         x = jax.device_put(jnp.asarray(a),
                            NamedSharding(mesh, P(axis_name, None)))
         pre = mcl_mod._colnorm(x)
-        pre = mcl_mod._matpower(pre, expansion, 'highest')
+        pre = mcl_mod._matpower(pre, expansion, precision)
         mats, iters, conv = mcl_mod._mcl_batched(
             pre, jnp.asarray([inflation], jnp.float32), expansion,
-            max_iter, pruning, 'highest')
+            max_iter, pruning, precision)
         return np.asarray(mats)[0, :m, :m]
 
 

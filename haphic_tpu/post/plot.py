@@ -210,8 +210,9 @@ def kr_balance(A: np.ndarray, tol: float = 1e-6, delta: float = 0.1,
     rk = 1 - v
     rho_km1 = rk @ rk
     rout = rold = rho_km1
-    err = ('Unable to converge. Maybe the matrix is too sparse (too few '
-           'Hi-C links). You can try another normalization method.')
+    err = ('KR balancing did not converge within the outer-iteration '
+           'limit — the contact matrix is likely too sparse for KR; '
+           'rerun with --normalization log10 or none.')
     nn = 0
     while rout > rt:
         nn += 1

@@ -2115,9 +2115,9 @@ def allelic_contig_statistics(result: str, allele_table: str, tag: str,
                 links, is_synteny))
 
     # ROC over concordance-ratio cutoffs 0, 0.05, ..., 1.0 (seeded
-    # shuffle before the descending sort for robust tie-breaking)
-    random.seed(12345)
-    random.shuffle(ranked)
+    # shuffle before the descending sort for robust tie-breaking; a
+    # local RNG so callers' global random state is untouched)
+    random.Random(12345).shuffle(ranked)
     ranked.sort(key=lambda x: x[1], reverse=True)
 
     roc_path = os.path.join(outdir, 'ROC.txt')
@@ -2200,15 +2200,18 @@ def _agp_bin_maps(agp: str, bin_size: int):
                 flipped.append(cols)
             cols_list = flipped
 
-        gap_len = 0
+        # track the cumulative gap length actually seen so far in this
+        # scaffold rather than deriving it from the component order —
+        # robust to consecutive W rows or trailing gaps after the flip
+        # renumbering (equals the reference's (order-1)//2*gap_len under
+        # strict W/U alternation)
+        cum_gap = 0
         for cols in cols_list:
             if cols[4] in ('U', 'N'):
-                gap_len = int(cols[5])
+                cum_gap += int(cols[5])
                 continue
-            order = int(cols[3])
-            offset = (order - 1) // 2 * gap_len
-            start = int(cols[1]) - offset
-            end = int(cols[2]) - offset
+            start = int(cols[1]) - cum_gap
+            end = int(cols[2]) - cum_gap
             ctg, orient = cols[5], cols[8]
             for b in range(-(-start // bin_size) - 1,
                            -(-end // bin_size)):
@@ -2353,6 +2356,11 @@ def _agp_break_points(agp: str, anno: set, lens: Dict[str, int]
     corrections: Dict[str, List[int]] = {}
     broken: set = set()
     unbroken: set = set()
+    # `<ctg>_break<N>` parts carry only their own length, so break
+    # coordinates must be accumulated in break-index order, not AGP
+    # file order (scaffolding may reorder the parts): collect
+    # {base: {N: part_len}} first, then cumulate after sorting by N.
+    break_parts: Dict[str, Dict[int, int]] = {}
     with open(agp) as f:
         for line in f:
             if not line.strip() or line.startswith('#'):
@@ -2370,15 +2378,12 @@ def _agp_break_points(agp: str, anno: set, lens: Dict[str, int]
                     parts[1].startswith('break'):
                 base = parts[0]
                 broken.add(base)
-                # component end of each non-final part is a break
-                # point; parts appear in order, so offsets accumulate
-                # from the previous (absolute) break point
-                end = int(cols[7])
-                prior = corrections.get(base)
-                offset = prior[-1] if prior else 0
-                if offset + end < lens[base]:
-                    corrections.setdefault(base, []).append(
-                        offset + end)
+                idx_str = parts[1][len('break'):]
+                idx = int(idx_str) if idx_str.isdigit() else 0
+                part_len = int(cols[7])
+                break_parts.setdefault(base, {})
+                break_parts[base][idx] = max(
+                    break_parts[base].get(idx, 0), part_len)
                 continue
             parts = ctg.rsplit('_', 2)
             if len(parts) == 3 and parts[0] in anno and \
@@ -2387,6 +2392,14 @@ def _agp_break_points(agp: str, anno: set, lens: Dict[str, int]
                 broken.add(base)
                 if end < lens[base]:
                     corrections.setdefault(base, []).append(end)
+    for base, by_idx in break_parts.items():
+        offset = 0
+        pts = corrections.setdefault(base, [])
+        for idx in sorted(by_idx):
+            offset += by_idx[idx]
+            if offset < lens[base]:
+                pts.append(offset)
+        pts.sort()
     return corrections, broken, unbroken
 
 
