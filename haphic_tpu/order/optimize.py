@@ -57,7 +57,17 @@ from jax import lax
 
 logger = logging.getLogger(__name__)
 
-CHUNK = 1 << 14          # CLM records per scan step
+CHUNK = 1 << 14          # max CLM records per scan step
+MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
+
+
+def _effective_chunk(n_records: int, chunk: int = CHUNK) -> int:
+    """Scan-chunk size adapted to the group's record count. Groups with
+    few CLM records must not pad to the maximum chunk: the score scan
+    does O(npop * chunk) gather work per generation, so a 300-record
+    group padded to 16384 wastes ~50x compute (measured 92 s for a
+    5-contig group's 5000 generations on the v5e — pure padding)."""
+    return min(chunk, _bucket(max(n_records, 1), MIN_CHUNK))
 
 
 @dataclass
@@ -228,22 +238,61 @@ def _mutate(key, order, ori, mutprob):
     return new_order, new_ori
 
 
-@functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))
-def _evolve(key, order, ori, lengths, pa, pb, d, w, mutprob,
-            chunk: int, ngen: int):
+def _ox_crossover(key, order, ori, xoprob):
+    """Order crossover (OX1), vectorized over the population.
+
+    Each individual crosses with a uniformly chosen partner: the child
+    keeps this individual's genes on a random slot span [i, j] and fills
+    the remaining slots with the partner's other genes in partner order
+    (orientations travel with their source gene). Pure gather/scatter +
+    cumsum ranking — no dynamic shapes.
+    """
+    P, k = order.shape
+    keys = jax.random.split(key, 4)
+    do = jax.random.uniform(keys[0], (P,)) < xoprob
+    partner = jax.random.randint(keys[1], (P,), 0, P)
+    e1 = jax.random.randint(keys[2], (P,), 0, k)
+    e2 = jax.random.randint(keys[3], (P,), 0, k)
+    i = jnp.minimum(e1, e2)[:, None]
+    j = jnp.maximum(e1, e2)[:, None]
+    rows = jnp.arange(P)[:, None]
+    idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (P, k))
+    in_span = (idx >= i) & (idx <= j)
+
+    pos_a = jnp.zeros((P, k), jnp.int32).at[rows, order].set(idx)
+    b_order = order[partner]
+    b_ori = ori[partner]
+    pos_in_a = jnp.take_along_axis(pos_a, b_order, axis=1)
+    keep = ~((pos_in_a >= i) & (pos_in_a <= j))        # partner genes
+    b_rank = jnp.cumsum(keep, axis=1) - keep           # outside A's span
+    slot_rank = jnp.cumsum(~in_span, axis=1) - (~in_span)
+    buf_idx = jnp.where(keep, b_rank, k)               # overflow slot k
+    buf = jnp.zeros((P, k + 1), jnp.int32).at[rows, buf_idx].set(b_order)
+    bufo = jnp.zeros((P, k + 1), jnp.int32).at[rows, buf_idx].set(b_ori)
+    child = jnp.where(in_span, order, buf[rows, slot_rank])
+    child_ori = jnp.where(in_span, ori, bufo[rows, slot_rank])
+    child = jnp.where(do[:, None], child, order)
+    child_ori = jnp.where(do[:, None], child_ori, ori)
+    return child, child_ori
+
+
+def _evolve_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
+                 chunk: int, ngen: int, xoprob: float = 0.3):
     """Run `ngen` generations of (mu + lambda) evolution.
 
     Population layout: row 0..P-1. Each generation:
       parents = current population (sorted best-first)
-      offspring = mutated parents
+      offspring = OX-crossover then mutation of parents
       next population = best P of parents + offspring
+    Row 0 is always the incumbent best, so the score is monotone.
     """
     P = order.shape[0]
 
     def gen(n, state):
         key, order, ori, scores = state
-        key, k1 = jax.random.split(key)
-        off_order, off_ori = _mutate(k1, order, ori, mutprob)
+        key, k1, k2 = jax.random.split(key, 3)
+        off_order, off_ori = _ox_crossover(k1, order, ori, xoprob)
+        off_order, off_ori = _mutate(k2, off_order, off_ori, mutprob)
         off_scores = _score_population(off_order, off_ori, lengths,
                                        pa, pb, d, w, chunk)
         all_order = jnp.concatenate([order, off_order], axis=0)
@@ -257,6 +306,23 @@ def _evolve(key, order, ori, lengths, pa, pb, d, w, mutprob,
     state = lax.fori_loop(0, ngen, gen, state)
     _, order, ori, scores = state
     return order, ori, scores
+
+
+_evolve = functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))(
+    _evolve_impl)
+
+@functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))
+def _evolve_batched(keys, order, ori, lengths, pa, pb, d, w, mutprob,
+                    chunk: int, ngen: int):
+    """Group-batched evolution: identical per-group computation vmapped
+    over a leading group axis — one compile + one dispatch for a whole
+    bucket of same-shape groups (replaces the reference's process pool,
+    scripts/HapHiC_sort.py:932-956). Shapes: keys (G, 2) PRNG keys,
+    order/ori (G, P, k), lengths (G, k), pa/pb/w (G, R), d (G, 4, R)."""
+    def one(k_, o_, r_, L_, a_, b_, d_, w_):
+        return _evolve_impl(k_, o_, r_, L_, a_, b_, d_, w_, mutprob,
+                            chunk, ngen)
+    return jax.vmap(one)(keys, order, ori, lengths, pa, pb, d, w)
 
 
 @dataclass
@@ -284,6 +350,7 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
     # a CLM record and add zero length, so any position they take in a
     # tour is score-neutral — this buckets compiled shapes across groups
     k_pad = _bucket(k, 8)
+    chunk = _effective_chunk(problem.n_records, chunk)
     lengths_padded = np.zeros(k_pad, dtype=np.int64)
     lengths_padded[:k] = problem.lengths
     pa, pb, d, w, _ = _pad_records(problem, chunk)
@@ -343,6 +410,133 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
 
     o, r = strip(order[0], ori[0])
     return GAResult(order=o, ori=r, score=float(scores[0]), history=history)
+
+
+@functools.partial(jax.jit, static_argnames=('chunk',))
+def _score_batched(order, ori, lengths, pa, pb, d, w, chunk: int):
+    def one(o_, r_, L_, a_, b_, d_, w_):
+        return _score_population(o_, r_, L_, a_, b_, d_, w_, chunk)
+    return jax.vmap(one)(order, ori, lengths, pa, pb, d, w)
+
+
+def _initial_population(problem: TourProblem, k_pad: int, npop: int,
+                        hot_start, key) -> Tuple[np.ndarray, np.ndarray]:
+    k = problem.k
+    if hot_start is not None:
+        base_order = np.concatenate([
+            np.asarray(hot_start[0], dtype=np.int32),
+            np.arange(k, k_pad, dtype=np.int32)])
+        base_ori = np.concatenate([
+            np.asarray(hot_start[1], dtype=np.int32),
+            np.zeros(k_pad - k, dtype=np.int32)])
+    else:
+        base_order = np.arange(k_pad, dtype=np.int32)
+        base_ori = np.zeros(k_pad, dtype=np.int32)
+    order = np.broadcast_to(base_order, (npop, k_pad)).copy()
+    ori = np.broadcast_to(base_ori, (npop, k_pad)).copy()
+    if hot_start is None:
+        perm = jax.random.permutation(
+            key, jnp.broadcast_to(jnp.arange(k_pad, dtype=jnp.int32),
+                                  (npop, k_pad)),
+            axis=1, independent=True)
+        order[1:] = np.asarray(perm)[1:]
+    return order, ori
+
+
+def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
+                   ngen: int = 5000, mutprob: float = 0.2, seed: int = 42,
+                   hot_starts: Optional[Sequence] = None,
+                   log_every: int = 500, skip_ga: bool = False,
+                   chunk: int = CHUNK) -> List[GAResult]:
+    """Evolve every group at once: groups are bucketed by padded shape
+    (k_pad, R_pad) and each bucket runs as ONE vmapped jit call per
+    log_every window — ≤ O(log) distinct compiles across arbitrarily
+    many chromosomes, versus the reference's per-group allhic
+    subprocesses fanned out on a process pool
+    (scripts/HapHiC_sort.py:932-956)."""
+    results: List[Optional[GAResult]] = [None] * len(problems)
+    hot_starts = list(hot_starts) if hot_starts is not None \
+        else [None] * len(problems)
+
+    buckets: dict = {}
+    for gi, p in enumerate(problems):
+        if p.k <= 1:
+            order = np.zeros(max(p.k, 1), dtype=np.int32)[:p.k]
+            results[gi] = GAResult(order=order, ori=np.zeros_like(order),
+                                   score=0.0, history=[])
+            continue
+        k_pad = _bucket(p.k, 8)
+        c_eff = _effective_chunk(p.n_records, chunk)
+        _, _, _, _, Rp = _pad_records(p, c_eff)
+        buckets.setdefault((k_pad, Rp, c_eff), []).append(gi)
+
+    for (k_pad, Rp, c_eff), idxs in sorted(buckets.items()):
+        G = len(idxs)
+        lengths = np.zeros((G, k_pad), dtype=np.int64)
+        pa = np.zeros((G, Rp), dtype=np.int32)
+        pb = np.zeros((G, Rp), dtype=np.int32)
+        d = np.zeros((G, 4, Rp), dtype=np.float32)
+        w = np.zeros((G, Rp), dtype=np.float32)
+        order = np.zeros((G, npop, k_pad), dtype=np.int32)
+        ori = np.zeros((G, npop, k_pad), dtype=np.int32)
+        key = jax.random.PRNGKey(seed)
+        init_keys = jax.random.split(key, G + 1)
+        key = init_keys[0]
+        for t, gi in enumerate(idxs):
+            p = problems[gi]
+            lengths[t, :p.k] = p.lengths
+            pa_t, pb_t, d_t, w_t, _ = _pad_records(p, c_eff)
+            pa[t], pb[t], d[t], w[t] = pa_t, pb_t, d_t, w_t
+            order[t], ori[t] = _initial_population(
+                p, k_pad, npop, hot_starts[gi], init_keys[t + 1])
+
+        lengths_j = jnp.asarray(lengths)
+        pa_j, pb_j = jnp.asarray(pa), jnp.asarray(pb)
+        d_j, w_j = jnp.asarray(d), jnp.asarray(w)
+        order_j, ori_j = jnp.asarray(order), jnp.asarray(ori)
+        scores = _score_batched(order_j, ori_j, lengths_j, pa_j, pb_j,
+                                d_j, w_j, c_eff)
+        best0 = np.asarray(jnp.max(scores, axis=1))
+        histories: List[List[Tuple[int, float]]] = \
+            [[(0, float(b))] for b in best0]
+
+        if skip_ga:
+            b = np.asarray(jnp.argmax(scores, axis=1))
+            for t, gi in enumerate(idxs):
+                p = problems[gi]
+                o = np.asarray(order_j[t, b[t]])
+                r = np.asarray(ori_j[t, b[t]])
+                real = o < p.k
+                results[gi] = GAResult(order=o[real], ori=r[real],
+                                       score=float(best0[t]),
+                                       history=histories[t])
+            continue
+
+        done = 0
+        while done < ngen:
+            step = min(log_every, ngen - done)
+            key, kg = jax.random.split(key)
+            gen_keys = jax.random.split(kg, G)
+            order_j, ori_j, scores = _evolve_batched(
+                gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
+                mutprob, c_eff, step)
+            done += step
+            best = np.asarray(scores[:, 0])
+            for t in range(G):
+                histories[t].append((done, float(best[t])))
+            logger.debug('GA generation %d: bucket (k=%d, R=%d) best %s',
+                         done, k_pad, Rp, best)
+
+        order_h, ori_h = np.asarray(order_j), np.asarray(ori_j)
+        final = np.asarray(scores[:, 0])
+        for t, gi in enumerate(idxs):
+            p = problems[gi]
+            o, r = order_h[t, 0], ori_h[t, 0]
+            real = o < p.k
+            results[gi] = GAResult(order=o[real], ori=r[real],
+                                   score=float(final[t]),
+                                   history=histories[t])
+    return results
 
 
 def result_to_tour(res: GAResult, ctg_ids: np.ndarray, names: List[str]

@@ -342,9 +342,19 @@ def sort_stage(cres: ClusterStageResult, groups: 'ReassignResult',
     lengths = {c: int(l) for c, l in zip(asm.names, asm.lengths)}
     tours: Dict[str, List[Tuple[str, str]]] = {}
 
+    # Pass 1 (host): fast sort per group + GA problem construction. The
+    # reference fans the whole per-group sort over a process pool
+    # (scripts/HapHiC_sort.py:932-956); here the host part is cheap and
+    # the hot part (the GA) is batched into one vmapped device call per
+    # shape bucket below.
+    t_stage = time.time()
+    fast_tours: List[Optional[List[Tuple[str, str]]]] = []
+    hots: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+    group_datas = []
     for gname, members in zip(g.names, g.members):
         t0 = time.time()
         gd = make_group_data(members, asm.lengths, cres.links.ht)
+        group_datas.append(gd)
         fast_tour = None
         hot = None
         if not cfg.skip_fast_sort and len(members) > 0:
@@ -362,15 +372,36 @@ def sort_stage(cres: ClusterStageResult, groups: 'ReassignResult',
             hot_ori = np.asarray([1 if o == '-' else 0
                                   for _, o in fast_tour], np.int32)
             hot = (hot_order, hot_ori)
+            logger.info('[%s] fast sort: %d contigs in %.1fs', gname,
+                        len(members), time.time() - t0)
+        fast_tours.append(fast_tour)
+        hots.append(hot)
 
+    # Pass 2 (device): batched GA over all multi-contig groups.
+    ga_idx = [i for i, members in enumerate(g.members)
+              if not cfg.skip_allhic and len(members) > 1]
+    ga_results: Dict[int, 'opt.GAResult'] = {}
+    if ga_idx:
+        t0 = time.time()
+        problems = [opt.build_problem(group_datas[i].ctg_ids, asm.lengths,
+                                      clm.pair_i, clm.pair_j, clm.d)
+                    for i in ga_idx]
+        results = opt.optimize_tours(
+            problems, npop=cfg.npop, ngen=cfg.ngen, mutprob=cfg.mutprob,
+            seed=cfg.seed, hot_starts=[hots[i] for i in ga_idx],
+            skip_ga=cfg.skipGA)
+        ga_results = dict(zip(ga_idx, results))
+        logger.info('optimized %d groups (batched GA) in %.1fs',
+                    len(ga_idx), time.time() - t0)
+
+    # Pass 3 (host): arbiter + tour emission per group.
+    for i, (gname, members) in enumerate(zip(g.names, g.members)):
+        fast_tour = fast_tours[i]
         final = fast_tour
-        if not cfg.skip_allhic and len(members) > 1:
-            problem = opt.build_problem(gd.ctg_ids, asm.lengths,
-                                        clm.pair_i, clm.pair_j, clm.d)
-            res = opt.optimize_tour(problem, npop=cfg.npop, ngen=cfg.ngen,
-                                    mutprob=cfg.mutprob, seed=cfg.seed,
-                                    hot_start=hot, skip_ga=cfg.skipGA)
-            ga_tour = opt.result_to_tour(res, gd.ctg_ids, asm.names)
+        if i in ga_results:
+            res = ga_results[i]
+            ga_tour = opt.result_to_tour(res, group_datas[i].ctg_ids,
+                                         asm.names)
             opt.write_ga_tour(os.path.join(outdir, '{}.tour'.format(gname)),
                               res, ga_tour, init_tour=fast_tour)
             if fast_tour is not None and choose_fast_sort(
@@ -385,8 +416,8 @@ def sort_stage(cres: ClusterStageResult, groups: 'ReassignResult',
             final = [(asm.names[c], '+') for c in members]
         tours[gname] = final
         write_tour(os.path.join(final_dir, '{}.tour'.format(gname)), final)
-        logger.info('[%s] sorted %d contigs in %.1fs', gname, len(members),
-                    time.time() - t0)
+    logger.info('sorted %d groups in %.1fs total', len(g.names),
+                time.time() - t_stage)
     return SortStageResult(tours=tours, tour_dir=final_dir)
 
 

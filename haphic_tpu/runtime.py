@@ -1,24 +1,28 @@
 """JAX runtime/session setup for haphic_tpu.
 
-Every fresh process pays XLA compilation for the jitted kernels (the
-batched MCL while-loop alone was measured at ~40-200 s cold on a
-TPU v5e behind the 'axon' tunnel).  JAX's persistent compilation cache
-removes that cost for every process after the first — but in
-environments where ``jax`` is pre-imported at interpreter startup
-(sitecustomize/.pth hooks), setting ``JAX_COMPILATION_CACHE_DIR`` in
-user code or even in ``os.environ`` before *our* import is too late:
-the config flag snapshots the environment when ``jax._src.config`` is
-first imported.  The only reliable mechanism is
-``jax.config.update('jax_compilation_cache_dir', ...)`` at runtime,
-which this module applies exactly once, package-wide.
+Two environment facts shape this module (both measured on the target
+TPU v5e behind the 'axon' tunnel):
 
-Measured on the real chip: `` _mcl_batched`` cold compile 42.5 s →
-1.4 s in a fresh process with the cache warm.
+1. ``jax`` may be pre-imported at interpreter startup (sitecustomize /
+   .pth hooks), so setting ``JAX_COMPILATION_CACHE_DIR`` or
+   ``JAX_PLATFORMS`` in ``os.environ`` from user code is too late — the
+   config flags snapshot the environment when ``jax._src.config`` is
+   first imported. Only ``jax.config.update(...)`` at runtime works.
 
-The reference has no analogous concern (pure CPU scipy/MKL,
-scripts/HapHiC_cluster.py:2017-2062); this is TPU-framework
-infrastructure the rebuild needs so `haphic pipeline` is usable in
-production, not only in pre-warmed benches.
+2. On the tunnel TPU backend, the persistent compilation cache is a
+   *pessimization*: executable serialization/deserialization runs on
+   the remote service and was measured at minutes per medium-sized
+   executable (e.g. the batched-MCL while-loop: raw compile ~1-2 s;
+   cache deserialize >400 s), and work abandoned by killed clients
+   keeps the service busy, serializing later requests. Raw XLA
+   compiles are fast there, so no cache is the right default. On CPU
+   (the test mesh) the cache is local and saves minutes of XLA:CPU
+   compile time, so it stays on.
+
+Policy: enable the persistent cache iff the first configured JAX
+platform is ``cpu``, or the user explicitly forces a cache directory
+via ``HAPHIC_JAX_CACHE_DIR``. ``HAPHIC_NO_JAX_CACHE=1`` disables it
+unconditionally.
 """
 
 from __future__ import annotations
@@ -34,16 +38,24 @@ def default_cache_dir() -> str:
     return os.path.join(base, 'haphic_tpu', 'jax-cache')
 
 
+def _first_platform(jax) -> str:
+    """The platform jax will initialize first, without forcing backend
+    initialization. Empty string when unconstrained."""
+    plats = None
+    try:
+        plats = jax.config.jax_platforms
+    except AttributeError:
+        pass
+    plats = plats or os.environ.get('JAX_PLATFORMS') or ''
+    return plats.split(',')[0].strip().lower()
+
+
 def setup_jax(cache_dir: str | None = None) -> None:
-    """Enable the persistent XLA compilation cache (idempotent).
+    """Configure the persistent XLA compilation cache (idempotent).
 
-    Resolution order for the cache directory:
-      1. explicit ``cache_dir`` argument
-      2. ``HAPHIC_JAX_CACHE_DIR`` environment variable
-      3. ``JAX_COMPILATION_CACHE_DIR`` environment variable (re-applied
-         here because a pre-imported jax never saw it)
-      4. ``~/.cache/haphic_tpu/jax-cache``
-
+    Explicit opt-in (argument or ``HAPHIC_JAX_CACHE_DIR``) always wins;
+    otherwise the cache is enabled only on the CPU platform (see module
+    docstring for why it is harmful on the tunnel TPU backend).
     Set ``HAPHIC_NO_JAX_CACHE=1`` to disable entirely.
     """
     global _configured
@@ -59,10 +71,10 @@ def setup_jax(cache_dir: str | None = None) -> None:
     except ImportError:  # pure host-side use without jax installed
         return
 
-    path = (cache_dir
-            or os.environ.get('HAPHIC_JAX_CACHE_DIR')
-            or os.environ.get('JAX_COMPILATION_CACHE_DIR')
-            or default_cache_dir())
+    explicit = cache_dir or os.environ.get('HAPHIC_JAX_CACHE_DIR')
+    if not explicit and _first_platform(jax) != 'cpu':
+        return
+    path = explicit or default_cache_dir()
     try:
         os.makedirs(path, exist_ok=True)
         # Don't clobber a value somebody already set programmatically.

@@ -171,3 +171,49 @@ def test_tour_file_format(tmp_path):
     final = lines[-1].split()
     assert sorted(x[:-1] for x in final) == sorted(names)
     assert all(x[-1] in '+-' for x in final)
+
+
+def test_ox_crossover_is_valid_permutation():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    P, k = 16, 12
+    order = np.stack([rng.permutation(k) for _ in range(P)]).astype(np.int32)
+    ori = rng.integers(0, 2, size=(P, k)).astype(np.int32)
+    child, child_ori = opt._ox_crossover(
+        jax.random.PRNGKey(0), jnp.asarray(order), jnp.asarray(ori),
+        xoprob=1.0)
+    child = np.asarray(child)
+    child_ori = np.asarray(child_ori)
+    for p in range(P):
+        assert sorted(child[p].tolist()) == list(range(k)), p
+        assert set(child_ori[p].tolist()) <= {0, 1}
+
+
+def test_optimize_tours_batched_matches_quality():
+    """Batched multi-group GA: each group recovers its true order, and
+    bucketing mixes different (k, R) shapes correctly."""
+    problems, truths = [], []
+    for seed, k in ((3, 8), (11, 8), (4, 5)):
+        problem, true_order, true_ori = _sim_chromosome_problem(seed, k=k)
+        problems.append(problem)
+        truths.append((true_order, true_ori))
+    # one single-contig group exercises the trivial path
+    problems.append(opt.TourProblem(
+        lengths=np.asarray([5000], np.int64),
+        pair_a=np.zeros(0, np.int32), pair_b=np.zeros(0, np.int32),
+        d=np.zeros((4, 0), np.float32), w=np.zeros(0, np.float32)))
+    results = opt.optimize_tours(problems, npop=32, ngen=600, seed=1,
+                                 log_every=200, chunk=1024)
+    assert len(results) == 4
+    assert results[3].order.tolist() == [0]
+    for res, problem, (true_order, true_ori) in zip(results, problems,
+                                                    truths):
+        scores = [s for _, s in res.history]
+        assert all(b >= a - 1e-6 for a, b in zip(scores, scores[1:]))
+        true_score = _brute_score(problem, true_order,
+                                  true_ori[true_order])
+        assert res.score >= 0.95 * true_score
+        got = _canonical_tour(res.order, res.ori)
+        want = _canonical_tour(true_order, true_ori[true_order])
+        assert got == want
