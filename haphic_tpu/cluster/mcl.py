@@ -33,6 +33,7 @@ Semantics parity notes (vs reference `mcl`):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -135,18 +136,92 @@ class MCLResult:
     converged: np.ndarray     # (B,)
 
 
+# Below this n the XLA compile time (tens of seconds per fresh process on
+# the tunnel TPU backend) dwarfs the compute; plain numpy finishes the
+# whole sweep in < ~2 s. Overridable for tests / power users.
+DEVICE_MIN_N = int(os.environ.get('HAPHIC_DEVICE_MIN_N', 1024))
+
+
+def _run_mcl_numpy(a: np.ndarray, inflations: np.ndarray, expansion: int,
+                   max_iter: int, pruning: float) -> MCLResult:
+    """Small-problem fallback: identical semantics to `_mcl_batched`, in
+    numpy (fp32), serial over inflations. No XLA compile cost."""
+    m = a.shape[0]
+
+    def colnorm(x):
+        s = x.sum(axis=0, keepdims=True)
+        with np.errstate(divide='ignore'):
+            inv = np.where(s > 0, 1.0 / s, 0.0)
+        return x * inv
+
+    def prune(x):
+        argmax_rows = np.argmax(x, axis=0)
+        keep = x >= pruning
+        keep[argmax_rows, np.arange(x.shape[1])] = True
+        return colnorm(np.where(keep, x, 0.0))
+
+    def inflate(x, infl):
+        with np.errstate(divide='ignore'):
+            p = np.where(x > 0, np.exp(
+                infl * np.log(np.where(x > 0, x, 1.0))), 0.0)
+        return colnorm(p)
+
+    pre = colnorm(a.astype(np.float32))
+    pre = np.linalg.matrix_power(pre, expansion)
+
+    B = len(inflations)
+    mats = np.empty((B, m, m), dtype=np.float32)
+    iters = np.empty((B,), dtype=np.int32)
+    conv = np.empty((B,), dtype=bool)
+    for b, infl in enumerate(inflations):
+        mat = prune(inflate(pre, float(infl)))
+        it, done = max_iter, False
+        for i in range(1, max_iter):
+            new = prune(inflate(
+                np.linalg.matrix_power(mat, expansion), float(infl)))
+            if i >= 2:
+                d = np.abs(new - mat) - 1e-5 * np.abs(mat)
+                if d.max() <= 1e-8:
+                    mat, it, done = new, i + 1, True
+                    break
+            mat = new
+        mats[b], iters[b], conv[b] = mat, it, done
+    return MCLResult(matrices=mats, n_iters=iters, converged=conv)
+
+
+def _bucket_pad(m: int) -> int:
+    """Pad n to the MXU tile, then up to a power-of-two size class so
+    different problem sizes reuse the same compiled executable (fresh
+    compiles cost tens of seconds on the tunnel TPU backend)."""
+    n = max(MXU_TILE, ((m + MXU_TILE - 1) // MXU_TILE) * MXU_TILE)
+    p = 1 << (n - 1).bit_length()
+    # at most 2x memory waste; cap the rounding at 8192 past which HBM
+    # headroom matters more than compile reuse
+    return p if p <= 8192 else n
+
+
 def run_mcl(adjacency: np.ndarray, inflations: Sequence[float],
             expansion: int = 2, max_iter: int = 200, pruning: float = 1e-4,
             precision: str = 'high',
-            batch_bytes_budget: int = 6 << 30) -> MCLResult:
+            batch_bytes_budget: int = 6 << 30,
+            device_min_n: Optional[int] = None) -> MCLResult:
     """Run the full inflation sweep, auto-chunking the batch to fit HBM.
 
     ``adjacency`` is the dense symmetric link matrix *with self loops*
     (reference dict_to_matrix(add_self_loops=True),
     scripts/HapHiC_cluster.py:2934).
+
+    Problems smaller than ``device_min_n`` (default env
+    HAPHIC_DEVICE_MIN_N or 1024) run in numpy on the host: at that size
+    a fresh-process XLA compile costs orders of magnitude more than the
+    whole sweep.
     """
     m = adjacency.shape[0]
-    n = max(MXU_TILE, ((m + MXU_TILE - 1) // MXU_TILE) * MXU_TILE)
+    min_n = DEVICE_MIN_N if device_min_n is None else device_min_n
+    if m < min_n:
+        return _run_mcl_numpy(adjacency, np.asarray(inflations, np.float32),
+                              expansion, max_iter, pruning)
+    n = _bucket_pad(m)
     a = _pad_to(adjacency.astype(np.float32), n)
 
     # pre-normalise + pre-expand once (reference lines :2143-2149)

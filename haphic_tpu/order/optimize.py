@@ -44,8 +44,11 @@ generations, final ordering on the last line
 
 from __future__ import annotations
 
+import ctypes
 import functools
 import logging
+import os
+import subprocess
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -59,6 +62,98 @@ logger = logging.getLogger(__name__)
 
 CHUNK = 1 << 14          # max CLM records per scan step
 MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
+
+# Work (npop * ngen * total CLM records) below which the native C++ GA
+# (native/tour_ga.cpp) beats the device path: a fresh-process XLA
+# compile on the tunnel TPU backend costs tens of seconds, while the
+# native kernel chews ~1e9 record-evaluations per second across threads.
+NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 4e10))
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           '..', '..', 'native')
+_native = None
+_native_checked = False
+
+
+def _load_native():
+    so = os.path.join(_NATIVE_DIR, 'libtourga.so')
+    if not os.path.exists(so):
+        src = os.path.join(_NATIVE_DIR, 'tour_ga.cpp')
+        if os.path.exists(src):
+            try:
+                subprocess.run(['make', '-C', _NATIVE_DIR, 'libtourga.so'],
+                               check=True, capture_output=True)
+            except Exception:
+                return None
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.tour_ga_run.restype = ctypes.c_int
+    lib.tour_ga_run.argtypes = [
+        ctypes.c_int, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), i32p, i32p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, ctypes.c_int,
+        i32p, i32p, ctypes.POINTER(ctypes.c_double),
+        i32p, ctypes.POINTER(ctypes.c_double)]
+    return lib
+
+
+def native_lib():
+    global _native, _native_checked
+    if not _native_checked:
+        _native = _load_native()
+        _native_checked = True
+    return _native
+
+
+def _optimize_native(problem: 'TourProblem', npop: int, ngen: int,
+                     mutprob: float, seed: int, hot_start, log_every: int,
+                     xoprob: float = 0.3, nthreads: int = 0) -> 'GAResult':
+    """One group on the native C++ GA kernel (small-problem path)."""
+    lib = native_lib()
+    k = problem.k
+    if hot_start is not None:
+        init_order = np.ascontiguousarray(hot_start[0], dtype=np.int32)
+        init_ori = np.ascontiguousarray(hot_start[1], dtype=np.int32)
+        shuffle = 0
+    else:
+        init_order = np.arange(k, dtype=np.int32)
+        init_ori = np.zeros(k, dtype=np.int32)
+        shuffle = 1
+    lengths = np.ascontiguousarray(problem.lengths, dtype=np.int64)
+    pa = np.ascontiguousarray(problem.pair_a, dtype=np.int32)
+    pb = np.ascontiguousarray(problem.pair_b, dtype=np.int32)
+    d = np.ascontiguousarray(problem.d, dtype=np.float32)
+    w = np.ascontiguousarray(problem.w, dtype=np.float32)
+    out_order = np.empty(k, dtype=np.int32)
+    out_ori = np.empty(k, dtype=np.int32)
+    out_score = ctypes.c_double()
+    nh = ngen // max(log_every, 1) + 2
+    hist_gen = np.empty(nh, dtype=np.int32)
+    hist_score = np.empty(nh, dtype=np.float64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.tour_ga_run(
+        k, problem.n_records,
+        ptr(lengths, ctypes.c_int64), ptr(pa, ctypes.c_int32),
+        ptr(pb, ctypes.c_int32), ptr(d, ctypes.c_float),
+        ptr(w, ctypes.c_float),
+        npop, ngen, mutprob, xoprob, seed, max(log_every, 1), nthreads,
+        ptr(init_order, ctypes.c_int32), ptr(init_ori, ctypes.c_int32),
+        shuffle,
+        ptr(out_order, ctypes.c_int32), ptr(out_ori, ctypes.c_int32),
+        ctypes.byref(out_score),
+        ptr(hist_gen, ctypes.c_int32),
+        ptr(hist_score, ctypes.c_double))
+    history = [(int(hist_gen[i]), float(hist_score[i])) for i in range(n)]
+    return GAResult(order=out_order, ori=out_ori,
+                    score=float(out_score.value), history=history)
 
 
 def _effective_chunk(n_records: int, chunk: int = CHUNK) -> int:
@@ -337,15 +432,23 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
                   mutprob: float = 0.2, seed: int = 42,
                   hot_start: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                   log_every: int = 500, skip_ga: bool = False,
-                  chunk: int = CHUNK) -> GAResult:
+                  chunk: int = CHUNK, backend: str = 'auto') -> GAResult:
     """Evolve tours for one group. ``hot_start`` is (order, ori) from
     fast sorting (`--resume` semantics, scripts/HapHiC_sort.py:631-632).
+
+    ``backend``: 'device' forces the batched TPU GA, 'native' the C++
+    kernel, 'auto' picks by problem size (see NATIVE_MAX_WORK).
     """
     k = problem.k
     if k <= 1:
         order = np.zeros(max(k, 1), dtype=np.int32)[:k]
         return GAResult(order=order, ori=np.zeros_like(order), score=0.0,
                         history=[])
+    work = float(npop) * (0 if skip_ga else ngen) * max(problem.n_records, 1)
+    if backend == 'native' or (backend == 'auto' and work < NATIVE_MAX_WORK
+                               and native_lib() is not None):
+        return _optimize_native(problem, npop, 0 if skip_ga else ngen,
+                                mutprob, seed, hot_start, log_every)
     # pad the contig axis with zero-length dummies: they never appear in
     # a CLM record and add zero length, so any position they take in a
     # tour is score-neutral — this buckets compiled shapes across groups
@@ -447,16 +550,40 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                    ngen: int = 5000, mutprob: float = 0.2, seed: int = 42,
                    hot_starts: Optional[Sequence] = None,
                    log_every: int = 500, skip_ga: bool = False,
-                   chunk: int = CHUNK) -> List[GAResult]:
+                   chunk: int = CHUNK, backend: str = 'auto'
+                   ) -> List[GAResult]:
     """Evolve every group at once: groups are bucketed by padded shape
     (k_pad, R_pad) and each bucket runs as ONE vmapped jit call per
     log_every window — ≤ O(log) distinct compiles across arbitrarily
     many chromosomes, versus the reference's per-group allhic
     subprocesses fanned out on a process pool
-    (scripts/HapHiC_sort.py:932-956)."""
+    (scripts/HapHiC_sort.py:932-956).
+
+    Small workloads (npop * ngen * total records < NATIVE_MAX_WORK)
+    dispatch to the native C++ kernel instead: at that size a
+    fresh-process XLA compile costs more than the whole evolution
+    (backend='auto'; force with 'device'/'native')."""
     results: List[Optional[GAResult]] = [None] * len(problems)
     hot_starts = list(hot_starts) if hot_starts is not None \
         else [None] * len(problems)
+
+    total_records = sum(p.n_records for p in problems if p.k > 1)
+    work = float(npop) * (0 if skip_ga else ngen) * max(total_records, 1)
+    use_native = backend == 'native' or (
+        backend == 'auto' and work < NATIVE_MAX_WORK
+        and native_lib() is not None)
+    if use_native:
+        for gi, p in enumerate(problems):
+            if p.k <= 1:
+                order = np.zeros(max(p.k, 1), dtype=np.int32)[:p.k]
+                results[gi] = GAResult(order=order,
+                                       ori=np.zeros_like(order),
+                                       score=0.0, history=[])
+            else:
+                results[gi] = _optimize_native(
+                    p, npop, 0 if skip_ga else ngen, mutprob, seed,
+                    hot_starts[gi], log_every)
+        return results
 
     buckets: dict = {}
     for gi, p in enumerate(problems):

@@ -128,10 +128,13 @@ def _canonical_tour(order, ori):
 
 
 @pytest.mark.parametrize('seed', [3])
-def test_ga_recovers_true_order(seed):
+@pytest.mark.parametrize('backend', ['native', 'device'])
+def test_ga_recovers_true_order(seed, backend):
+    if backend == 'native' and opt.native_lib() is None:
+        pytest.skip('native kernel unavailable')
     problem, true_order, true_ori = _sim_chromosome_problem(seed)
     res = opt.optimize_tour(problem, npop=32, ngen=600, seed=1,
-                            log_every=200, chunk=1024)
+                            log_every=200, chunk=1024, backend=backend)
     # monotone improvement
     scores = [s for _, s in res.history]
     assert all(b >= a - 1e-6 for a, b in zip(scores, scores[1:]))
@@ -144,12 +147,15 @@ def test_ga_recovers_true_order(seed):
     assert got == want
 
 
-def test_hot_start_and_skip_ga():
+@pytest.mark.parametrize('backend', ['native', 'device'])
+def test_hot_start_and_skip_ga(backend):
+    if backend == 'native' and opt.native_lib() is None:
+        pytest.skip('native kernel unavailable')
     problem, true_order, true_ori = _sim_chromosome_problem(5)
     hot = (true_order.astype(np.int32),
            true_ori[true_order].astype(np.int32))
     res = opt.optimize_tour(problem, npop=8, skip_ga=True, hot_start=hot,
-                            chunk=1024)
+                            chunk=1024, backend=backend)
     assert res.score == pytest.approx(
         _brute_score(problem, true_order, true_ori[true_order]), rel=1e-4)
     assert np.array_equal(res.order, hot[0])
@@ -190,9 +196,12 @@ def test_ox_crossover_is_valid_permutation():
         assert set(child_ori[p].tolist()) <= {0, 1}
 
 
-def test_optimize_tours_batched_matches_quality():
+@pytest.mark.parametrize('backend', ['native', 'device'])
+def test_optimize_tours_batched_matches_quality(backend):
     """Batched multi-group GA: each group recovers its true order, and
     bucketing mixes different (k, R) shapes correctly."""
+    if backend == 'native' and opt.native_lib() is None:
+        pytest.skip('native kernel unavailable')
     problems, truths = [], []
     for seed, k in ((3, 8), (11, 8), (4, 5)):
         problem, true_order, true_ori = _sim_chromosome_problem(seed, k=k)
@@ -204,7 +213,7 @@ def test_optimize_tours_batched_matches_quality():
         pair_a=np.zeros(0, np.int32), pair_b=np.zeros(0, np.int32),
         d=np.zeros((4, 0), np.float32), w=np.zeros(0, np.float32)))
     results = opt.optimize_tours(problems, npop=32, ngen=600, seed=1,
-                                 log_every=200, chunk=1024)
+                                 log_every=200, chunk=1024, backend=backend)
     assert len(results) == 4
     assert results[3].order.tolist() == [0]
     for res, problem, (true_order, true_ori) in zip(results, problems,
