@@ -1,0 +1,429 @@
+"""Sparse Markov clustering on TPU — the scale path past dense n².
+
+The reference clusters up to ~262k fragments (Ginkgo,
+reference README.md:317) with scipy CSC + MKL SpGEMM
+(scripts/HapHiC_cluster.py:2017-2062); a dense (B, n, n) formulation is
+~274 GB per matrix at that n. Dynamic-sparsity CSR does not fit XLA's
+static-shape model, so this module uses a *fixed top-K per column* ELL
+layout — the "selection pruning" strategy of HipMCL (Azad et al.,
+"HipMCL: a high-performance parallel implementation of the Markov
+clustering algorithm", and the pre-exascale follow-up
+arxiv.org/pdf/2002.10083) — which bounds every shape statically:
+
+    idx: int32 (n+1, K)   row ids of the ≤K entries of each column,
+                          sorted ascending, sentinel n for padding
+    val: f32   (n+1, K)   matching values (0 at sentinels)
+
+Row n is an always-empty padding row so gathers through sentinel ids
+are self-neutralizing. Memory is O(n·K) — 262k fragments at K=128 is
+~270 MB per inflation instead of ~274 GB dense.
+
+One MCL iteration per column j (all vectorized, no dynamic shapes):
+  expand   gather the K columns referenced by column j -> (K, K)
+           candidate (row, val·val) products
+  dedupe   lax.sort by row id + segmented run-sum (cumsum/cummax trick)
+  inflate  val^inflation, exact column L1 normalization (pre-cap, so
+           the normalizer sees the full expanded column)
+  cap      lax.top_k K largest entries — the only approximation vs the
+           reference; exact when K ≥ the column's true support
+  prune    threshold + keep-column-max + renormalize
+           (reference prune semantics, scripts/HapHiC_cluster.py:1987)
+  converge numpy.allclose semantics via a 2K sorted merge of old/new
+
+The inflation sweep is batched on a leading axis with per-inflation
+freeze masks, and columns stream through a lax.scan in fixed chunks so
+peak memory stays O(B · chunk · K²).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_K = 128
+
+
+# ---------------------------------------------------------------------------
+# per-column kernels (vmapped over columns, then over inflations)
+# ---------------------------------------------------------------------------
+
+
+def _dedupe_sorted(ci: jnp.ndarray, cv: jnp.ndarray, n: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment-sum runs of equal ids in an id-sorted candidate list.
+    Non-last members of each run become sentinels (id n, value 0)."""
+    s = jnp.cumsum(cv)
+    nxt = jnp.concatenate([ci[1:], jnp.full((1,), n + 1, ci.dtype)])
+    is_last = ci != nxt
+    z = jnp.where(is_last, s, 0.0)
+    prev = jnp.concatenate([jnp.zeros((1,), s.dtype), z[:-1]])
+    prev_end = lax.cummax(prev, axis=0)      # s is nondecreasing (cv >= 0)
+    run = s - prev_end
+    real = is_last & (ci < n)
+    return jnp.where(real, ci, n), jnp.where(real, run, 0.0)
+
+
+def _inflate_cap_prune(didx: jnp.ndarray, dval: jnp.ndarray, infl,
+                       pruning, n: int, K: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """inflate -> exact colnorm -> top-K cap -> threshold+keep-max ->
+    renormalize -> sort by row id. Works on any deduped candidate list
+    (K² after expansion, K for the no-expand first iteration)."""
+    p = jnp.where(dval > 0,
+                  jnp.exp(infl * jnp.log(jnp.where(dval > 0, dval, 1.0))),
+                  0.0)
+    tot = p.sum()
+    p = p * jnp.where(tot > 0, 1.0 / tot, 0.0)
+    if p.shape[0] > K:
+        tv, tpos = lax.top_k(p, K)
+        ti = didx[tpos]
+    else:
+        tv, ti = p, didx
+    mx = tv.max()
+    keep = (tv >= pruning) | ((tv == mx) & (tv > 0))
+    tv = jnp.where(keep, tv, 0.0)
+    t2 = tv.sum()
+    tv = tv * jnp.where(t2 > 0, 1.0 / t2, 0.0)
+    ti = jnp.where(tv > 0, ti, n).astype(jnp.int32)
+    ti, tv = lax.sort((ti, tv), num_keys=1)
+    return ti, tv
+
+
+def _expand_col(A_idx: jnp.ndarray, A_val: jnp.ndarray,
+                col_idx: jnp.ndarray, col_val: jnp.ndarray,
+                n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidates of (A @ A)[:, j]: the K referenced columns of A scaled
+    by this column's values, flattened and deduped. Shapes (K²,)."""
+    gi = A_idx[col_idx].reshape(-1)                      # (K*K,)
+    gv = (A_val[col_idx] * col_val[:, None]).reshape(-1)
+    ci, cv = lax.sort((gi, gv), num_keys=1)
+    return _dedupe_sorted(ci, cv, n)
+
+
+def _col_allclose_stat(old_idx, old_val, new_idx, new_val, n,
+                       rtol=1e-5):
+    """max over rows of |new - old| - rtol·|old| for one column pair
+    (numpy.allclose semantics of the dense path, b = old)."""
+    ci = jnp.concatenate([old_idx, new_idx])
+    dv = jnp.concatenate([-old_val, new_val])
+    ov = jnp.concatenate([old_val, jnp.zeros_like(new_val)])
+    ci, dv, ov = lax.sort((ci, dv, ov), num_keys=1)
+    s_d = jnp.cumsum(dv)
+    s_o = jnp.cumsum(ov)
+    nxt = jnp.concatenate([ci[1:], jnp.full((1,), n + 1, ci.dtype)])
+    is_last = ci != nxt
+    zd = jnp.where(is_last, s_d, 0.0)
+    zo = jnp.where(is_last, s_o, 0.0)
+    # cumsum of ov is nondecreasing; dv cumsum is not -> recover run sums
+    # by differencing consecutive last positions via a gather-free scan:
+    prev_o = jnp.concatenate([jnp.zeros((1,), s_o.dtype), zo[:-1]])
+    o_run = s_o - lax.cummax(prev_o, axis=0)
+    # for dv, propagate "last seen run-end cumsum" with an associative
+    # scan over (value at last positions, carry forward):
+    idx_pos = jnp.where(is_last, jnp.arange(ci.shape[0]), -1)
+    prev_last = jnp.concatenate(
+        [jnp.full((1,), -1, idx_pos.dtype), lax.cummax(idx_pos, axis=0)[:-1]])
+    d_prev = jnp.where(prev_last >= 0, s_d[jnp.maximum(prev_last, 0)], 0.0)
+    d_run = s_d - d_prev
+    stat = jnp.abs(d_run) - rtol * o_run
+    return jnp.max(jnp.where(is_last & (ci < n), stat, -jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# batched sweep kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n', 'K', 'chunk', 'max_iter', 'expansion'))
+def _sparse_mcl_batched(idx0, val0, inflations, n: int, K: int,
+                        chunk: int, max_iter: int, pruning,
+                        expansion: int):
+    """Run the batched sparse MCL sweep.
+
+    idx0/val0: (n+1, K) pre-expanded column-normalized base matrix
+    inflations: (B,)
+    Returns (idx (B,n+1,K), val, n_iters (B,), converged (B,))
+    """
+    B = inflations.shape[0]
+    n1 = n + 1
+    nchunks = -(-n1 // chunk)
+    n_pad = nchunks * chunk
+    col_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n)
+    col_blocks = col_ids.reshape(nchunks, chunk)
+    infl = inflations.astype(jnp.float32)
+
+    def first_iter_col(ci, cv, f):
+        return _inflate_cap_prune(ci, cv, f, pruning, n, K)
+
+    # iteration 0: inflate + prune only (sweep pre-expands once,
+    # reference scripts/HapHiC_cluster.py:2144-2149)
+    i0, v0 = jax.vmap(
+        lambda f: jax.vmap(lambda ci, cv: first_iter_col(ci, cv, f))(
+            idx0, val0))(infl)
+    # keep the pad row empty
+    i0 = i0.at[:, n].set(n)
+    v0 = v0.at[:, n].set(0.0)
+
+    def one_iteration(idx, val):
+        """expand + inflate + cap + prune for all B, streaming columns;
+        also returns the per-B allclose statistic vs the input."""
+        def step(carry, cols):
+            maxstat = carry
+
+            def per_b(A_i, A_v, f):
+                c_i = A_i[cols]                      # (chunk, K)
+                c_v = A_v[cols]
+
+                def per_col(ci_row, cv_row):
+                    di, dv = _expand_col(A_i, A_v, ci_row, cv_row, n)
+                    for _ in range(expansion - 2):
+                        # higher expansion powers: re-expand the deduped
+                        # column (entries beyond K² fold through cap)
+                        di, dv = _inflate_cap_prune(
+                            di, dv, jnp.float32(1.0), 0.0, n, K)
+                        di, dv = _expand_col(A_i, A_v, di, dv, n)
+                    return _inflate_cap_prune(di, dv, f, pruning, n, K)
+
+                ni, nv = jax.vmap(per_col)(c_i, c_v)
+                stat = jax.vmap(
+                    lambda oi, ov, qi, qv: _col_allclose_stat(
+                        oi, ov, qi, qv, n))(c_i, c_v, ni, nv)
+                return ni, nv, jnp.max(stat)
+
+            ni, nv, stat = jax.vmap(per_b)(idx, val, infl)
+            return jnp.maximum(maxstat, stat), (ni, nv)
+
+        stat0 = jnp.full((B,), -jnp.inf)
+        maxstat, (ys_i, ys_v) = lax.scan(step, stat0, col_blocks)
+        new_idx = ys_i.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
+        new_val = ys_v.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
+        new_idx = new_idx.at[:, n].set(n)
+        new_val = new_val.at[:, n].set(0.0)
+        return new_idx, new_val, maxstat
+
+    def cond(state):
+        it, idx, val, active, conv_at = state
+        return jnp.logical_and(it < max_iter, jnp.any(active))
+
+    def body(state):
+        it, idx, val, active, conv_at = state
+        ni, nv, maxstat = one_iteration(idx, val)
+        conv = jnp.logical_and(it >= 2, maxstat <= 1e-8)
+        newly = jnp.logical_and(active, conv)
+        conv_at = jnp.where(newly, it + 1, conv_at)
+        keep = active[:, None, None]
+        idx = jnp.where(keep, ni, idx)
+        val = jnp.where(keep, nv, val)
+        active = jnp.logical_and(active, jnp.logical_not(conv))
+        return it + 1, idx, val, active, conv_at
+
+    state = (jnp.array(1, jnp.int32), i0, v0,
+             jnp.ones((B,), bool), jnp.full((B,), max_iter, jnp.int32))
+    it, idx, val, active, conv_at = lax.while_loop(cond, body, state)
+    return idx, val, conv_at, jnp.logical_not(active)
+
+
+@functools.partial(jax.jit, static_argnames=('n', 'K', 'chunk'))
+def _pre_expand(idx0, val0, n: int, K: int, chunk: int):
+    """One exact-normalization expansion of the base matrix (inflation 1,
+    no threshold — only the top-K cap applies)."""
+    n1 = n + 1
+    nchunks = -(-n1 // chunk)
+    n_pad = nchunks * chunk
+    col_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n)
+    col_blocks = col_ids.reshape(nchunks, chunk)
+
+    def step(_, cols):
+        def per_col(ci_row, cv_row):
+            di, dv = _expand_col(idx0, val0, ci_row, cv_row, n)
+            return _inflate_cap_prune(di, dv, jnp.float32(1.0), 0.0, n, K)
+        ni, nv = jax.vmap(per_col)(idx0[cols], val0[cols])
+        return _, (ni, nv)
+
+    _, (ys_i, ys_v) = lax.scan(step, 0, col_blocks)
+    pi = ys_i.reshape(n_pad, K)[:n1]
+    pv = ys_v.reshape(n_pad, K)[:n1]
+    pi = pi.at[n].set(n)
+    pv = pv.at[n].set(0.0)
+    return pi, pv
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+
+def coo_to_ell(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
+               K: int, add_self_loops: bool = True
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric COO (upper or mixed triangle) -> column-normalized ELL
+    (n+1, K). Columns with more than K entries keep the K largest
+    (logged). Mirrors dict_to_matrix(add_self_loops=True) + the sweep's
+    initial L1 normalization (scripts/HapHiC_cluster.py:310-373,2143)."""
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    off = (i != j)
+    rows = np.concatenate([i, j[off]])
+    cols = np.concatenate([j, i[off]])
+    vals = np.concatenate([w, w[off]])
+    if add_self_loops:
+        rows = np.concatenate([rows, np.arange(n)])
+        cols = np.concatenate([cols, np.arange(n)])
+        vals = np.concatenate([vals, np.ones(n)])
+    # collapse duplicates
+    key = cols * (n + 1) + rows
+    order = np.argsort(key, kind='stable')
+    key, rows, vals = key[order], rows[order], vals[order]
+    uk, start = np.unique(key, return_index=True)
+    seg = np.add.reduceat(vals, start) if len(vals) else vals[:0]
+    rows = rows[start]
+    cols = (uk // (n + 1)).astype(np.int64)
+
+    # column L1 normalization
+    colsum = np.zeros(n, dtype=np.float64)
+    np.add.at(colsum, cols, seg)
+    seg = seg / np.where(colsum[cols] > 0, colsum[cols], 1.0)
+
+    counts = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(counts, cols, 1)
+    overflow = int((counts > K).sum())
+    if overflow:
+        logger.info('sparse MCL: %d/%d columns exceed K=%d entries; '
+                    'keeping the K largest per column', overflow, n, K)
+    col_start = np.zeros(n + 2, dtype=np.int64)
+    np.cumsum(counts, out=col_start[1:])
+
+    # per-column top-K (vectorized): rank entries by value within column
+    order2 = np.lexsort((-seg, cols))
+    c2, r2, v2 = cols[order2], rows[order2], seg[order2]
+    rank = np.arange(len(c2)) - col_start[c2]
+    keep = rank < K
+    c2, r2, v2 = c2[keep], r2[keep], v2[keep]
+    if overflow:
+        ksum = np.zeros(n, dtype=np.float64)
+        np.add.at(ksum, c2, v2)
+        ov = counts[c2] > K
+        v2 = np.where(ov, v2 / np.where(ksum[c2] > 0, ksum[c2], 1.0), v2)
+
+    # place in ascending row order per column
+    order3 = np.lexsort((r2, c2))
+    c3, r3, v3 = c2[order3], r2[order3], v2[order3]
+    kept_counts = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(kept_counts, c3, 1)
+    kept_start = np.zeros(n + 2, dtype=np.int64)
+    np.cumsum(kept_counts, out=kept_start[1:])
+    slot = np.arange(len(c3)) - kept_start[c3]
+
+    idx = np.full((n + 1, K), n, dtype=np.int32)
+    val = np.zeros((n + 1, K), dtype=np.float32)
+    idx[c3, slot] = r3
+    val[c3, slot] = v3
+    return idx, val
+
+
+@dataclass
+class SparseMCLResult:
+    idx: np.ndarray          # (B, n+1, K)
+    val: np.ndarray
+    n: int
+    n_iters: np.ndarray      # (B,)
+    converged: np.ndarray    # (B,)
+
+    def csr(self, b: int):
+        """Final matrix of inflation b as scipy CSR (rows x cols)."""
+        from scipy.sparse import coo_matrix
+        idx = self.idx[b, :self.n].ravel()
+        cols = np.repeat(np.arange(self.n), self.idx.shape[-1])
+        vals = self.val[b, :self.n].ravel()
+        keep = (idx < self.n) & (vals > 0)
+        return coo_matrix((vals[keep], (idx[keep], cols[keep])),
+                          shape=(self.n, self.n)).tocsr()
+
+    def interpret(self, b: int) -> Optional[list]:
+        """Cluster extraction, parity with the dense interpret_result
+        (scripts/HapHiC_cluster.py:2065-2095)."""
+        csr = self.csr(b)
+        m = self.n
+        diag = csr.diagonal() != 0
+        attractors = np.nonzero(diag)[0]
+        clusters = set()
+        for a in attractors:
+            row = csr.getrow(a)
+            clusters.add(tuple(np.sort(row.indices[row.data != 0]).tolist()))
+        seen = set()
+        for cluster in clusters:
+            for node in cluster:
+                if node in seen:
+                    return None
+                seen.add(node)
+        if len(seen) != m:
+            return None
+        return sorted(clusters)
+
+
+def _auto_chunk(B: int, K: int, n: int, budget_bytes: int = 2 << 30) -> int:
+    per_col = B * K * K * 8          # candidate idx+val per column
+    c = max(1, budget_bytes // max(per_col, 1))
+    # keep the lane dimension friendly, and never pad columns beyond
+    # the next power of two over the real count
+    n_cap = 1 << max(3, (n + 1 - 1).bit_length())
+    return int(min(4096, n_cap, max(8, 1 << (int(c).bit_length() - 1))))
+
+
+def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
+                   inflations: Sequence[float], K: int = DEFAULT_K,
+                   expansion: int = 2, max_iter: int = 200,
+                   pruning: float = 1e-4, add_self_loops: bool = True,
+                   inflation_batch: int = 0,
+                   chunk: int = 0) -> SparseMCLResult:
+    """Sparse MCL inflation sweep over a symmetric COO link matrix.
+
+    ``K`` bounds the per-column support (selection pruning). With
+    K ≥ max column support of every iterate the result is exact; smaller
+    K approximates (validated against the dense path in tests).
+    """
+    if K > n:
+        K = max(1, n)
+    infl = np.asarray(inflations, dtype=np.float32)
+    B = len(infl)
+    idx0, val0 = coo_to_ell(i, j, w, n, K, add_self_loops=add_self_loops)
+
+    chunk = chunk or _auto_chunk(min(B, inflation_batch or B), K, n)
+    idx0_j = jnp.asarray(idx0)
+    val0_j = jnp.asarray(val0)
+    for _ in range(expansion - 1):
+        idx0_j, val0_j = _pre_expand(idx0_j, val0_j, n, K, chunk)
+
+    # chunk the inflation axis for memory: ~4 live (B, n, K) buffers
+    if not inflation_batch:
+        per = 4 * (n + 1) * K * 8
+        inflation_batch = max(1, min(B, int((6 << 30) // max(per, 1))))
+
+    out_idx = np.empty((B, n + 1, K), dtype=np.int32)
+    out_val = np.empty((B, n + 1, K), dtype=np.float32)
+    iters = np.empty((B,), dtype=np.int32)
+    conv = np.empty((B,), dtype=bool)
+    for s in range(0, B, inflation_batch):
+        e = min(B, s + inflation_batch)
+        ii, vv, it, cc = _sparse_mcl_batched(
+            idx0_j, val0_j, jnp.asarray(infl[s:e]), n, K, chunk,
+            max_iter, float(pruning), expansion)
+        out_idx[s:e] = np.asarray(ii)
+        out_val[s:e] = np.asarray(vv)
+        iters[s:e] = np.asarray(it)
+        conv[s:e] = np.asarray(cc)
+    return SparseMCLResult(idx=out_idx, val=out_val, n=n, n_iters=iters,
+                           converged=conv)

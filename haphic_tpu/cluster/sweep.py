@@ -183,24 +183,68 @@ def recommend_inflation(cluster_sets: List[ClusterSet], nchrs: int
     return None, None
 
 
+def build_adjacency_coo(flank: COO, filtered_ids: np.ndarray, n_frag: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """COO (i, j, w) over the filtered fragment subset (upper triangle,
+    local indices) plus the frag_ids row map — the sparse-path twin of
+    build_adjacency that never materializes n²."""
+    filtered_ids = np.asarray(sorted(filtered_ids))
+    lookup = np.full(n_frag, -1, dtype=np.int64)
+    lookup[filtered_ids] = np.arange(len(filtered_ids))
+    sel = (lookup[flank.i] >= 0) & (lookup[flank.j] >= 0)
+    i = lookup[flank.i[sel]]
+    j = lookup[flank.j[sel]]
+    w = flank.w[sel].astype(np.float64)
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    return lo, hi, w, filtered_ids
+
+
+# Above this fragment count the dense (B, n, n) formulation stops
+# fitting HBM comfortably and the ELL top-K engine takes over.
+SPARSE_MIN_N = int(os.environ.get('HAPHIC_SPARSE_MCL_MIN_N', 8192))
+
+
 def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
                    nchrs: int, expansion: int = 2, min_inflation: float = 1.1,
                    max_inflation: float = 3.0, inflation_step: float = 0.1,
                    max_iter: int = 200, pruning: float = 1e-4,
                    outdir: str = '.', precision: str = 'high',
-                   write_files: bool = True) -> SweepResult:
+                   write_files: bool = True, mcl_backend: str = 'auto',
+                   sparse_K: int = 0) -> SweepResult:
     """Full clustering stage: adjacency → batched MCL sweep → cluster
-    files + inflation recommendation."""
-    mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
+    files + inflation recommendation.
+
+    ``mcl_backend``: 'dense' | 'sparse' | 'auto' (sparse once the
+    fragment count exceeds SPARSE_MIN_N / HAPHIC_SPARSE_MCL_MIN_N)."""
     inflations = inflation_values(min_inflation, max_inflation, inflation_step)
-    logger.info('Performing Markov clustering (n=%d fragments, %d inflations, batched)...',
-                mat.shape[0], len(inflations))
-    res = mcl_mod.run_mcl(mat, [float(i) for i in inflations],
-                          expansion=expansion, max_iter=max_iter,
-                          pruning=pruning, precision=precision)
+    m = len(np.asarray(filtered_ids))
+    use_sparse = mcl_backend == 'sparse' or (
+        mcl_backend == 'auto' and m >= SPARSE_MIN_N)
+    logger.info('Performing Markov clustering (n=%d fragments, %d '
+                'inflations, batched, %s)...', m, len(inflations),
+                'sparse top-K' if use_sparse else 'dense')
+    if use_sparse:
+        from haphic_tpu.cluster import sparse_mcl as sp
+        ci, cj, cw, frag_ids = build_adjacency_coo(flank, filtered_ids,
+                                                   len(frags))
+        res = sp.run_mcl_sparse(ci, cj, cw, m,
+                                [float(i) for i in inflations],
+                                K=sparse_K or sp.DEFAULT_K,
+                                expansion=expansion, max_iter=max_iter,
+                                pruning=pruning)
+        partitions = [res.interpret(b) for b in range(len(inflations))]
+    else:
+        mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
+        res = mcl_mod.run_mcl(mat, [float(i) for i in inflations],
+                              expansion=expansion, max_iter=max_iter,
+                              pruning=pruning, precision=precision)
+        partitions = [mcl_mod.interpret_result(res.matrices[b])
+                      for b in range(len(inflations))]
     cluster_sets: List[ClusterSet] = []
     for b, inflation in enumerate(inflations):
-        idx_clusters = mcl_mod.interpret_result(res.matrices[b])
+        idx_clusters = partitions[b]
         if not idx_clusters:
             logger.info('Some fragments are missing / redundant, result of '
                         'inflation %s will NOT be output', inflation)

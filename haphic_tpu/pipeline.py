@@ -20,9 +20,9 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from haphic_tpu.assign.reassign import (ReassignParams, ReassignResult,
-                                        reassign, split_clm_file,
-                                        write_group_files)
+from haphic_tpu.assign.reassign import (Groups, ReassignParams,
+                                        ReassignResult, reassign,
+                                        split_clm_file, write_group_files)
 from haphic_tpu.build.scaffolds import (build_final_scaffolds,
                                         generate_juicebox_script,
                                         parse_tours)
@@ -117,9 +117,9 @@ class ClusterStageResult:
     asm: Assembly
     frags: Fragments
     links: LinkData
-    filtered: FilterResult
-    sweep: sweep_mod.SweepResult
-    clm_path: str
+    filtered: Optional[FilterResult]
+    sweep: Optional[sweep_mod.SweepResult]
+    clm_path: Optional[str]
     corrected_ctgs: List[str] = field(default_factory=list)
 
 
@@ -197,12 +197,17 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         reader = (remapper.remap(c) for c in base_reader)
     else:
         reader = make_reader(asm.names)
-    need_coords = bool(cfg.remove_allelic_links) or \
-        cfg.remove_concentrated_links
+    # quick view skips allelic/concentrated pruning
+    # (reference scripts/HapHiC_cluster.py:2779-2784)
+    remove_allelic = 0 if cfg.quick_view else cfg.remove_allelic_links
+    remove_concentrated = (False if cfg.quick_view
+                           else cfg.remove_concentrated_links)
+    need_coords = bool(remove_allelic) or remove_concentrated
     links = aggregate(reader, frags, flank_kbp=cfg.flank,
                       need_coords=need_coords,
                       max_read_pairs=cfg.max_read_pairs,
-                      track_ctg_pair_to_frag=bool(cfg.remove_allelic_links)
+                      keep_clm=not cfg.quick_view,
+                      track_ctg_pair_to_frag=bool(remove_allelic)
                       and frags.any_split)
     logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
                 'fragment pairs)', time.time() - t0, len(links.full.i),
@@ -215,6 +220,14 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     # reference-format artifacts
     write_pickle(ht_link_dict(links, asm.names),
                  os.path.join(outdir, 'HT_links.pkl'))
+    if cfg.quick_view:
+        # quick view: the cluster stage ends after HT_links.pkl
+        # (reference scripts/HapHiC_cluster.py:2884-2887)
+        logger.info('Quick view: cluster stage finished in %.1fs',
+                    time.time() - t0)
+        return ClusterStageResult(asm=asm, frags=frags, links=links,
+                                  filtered=None, sweep=None, clm_path=None,
+                                  corrected_ctgs=corrected_ctgs)
     clm_path = os.path.join(outdir, 'paired_links.clm')
     write_clm(links.clm, asm.names, clm_path,
               min_read_pairs=2)
@@ -282,12 +295,63 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                               corrected_ctgs=corrected_ctgs)
 
 
+def _mock_quick_view_groups(asm: Assembly, gfa: Optional[str],
+                            outdir: str) -> ReassignResult:
+    """Quick-view final_groups/: one group per haplotype when more than
+    one GFA is given, else a single all-contigs group — with the
+    reference's mock file formats (contigs in input order, parity:
+    scripts/HapHiC_reassign.py:625-641,787-818)."""
+    final_dir = os.path.join(outdir, 'final_groups')
+    os.makedirs(final_dir, exist_ok=True)
+    order = sorted(range(len(asm)),
+                   key=lambda c: asm.input_order.get(asm.names[c], c))
+    gfa_list = gfa.split(',') if gfa else []
+    if len(gfa_list) <= 1:
+        hap_members = [order]
+    else:
+        from haphic_tpu.io.gfa import read_gfas
+        depth = read_gfas(gfa_list, asm)
+        hap_ctgs: Dict[int, List[int]] = {}
+        for c in order:
+            name = asm.names[c]
+            if name in depth:
+                hap_ctgs.setdefault(depth[name][0], []).append(c)
+        hap_members = [hap_ctgs[h] for h in sorted(hap_ctgs)]
+
+    names, lengths = [], []
+    ctg_group = np.full(len(asm), -1, dtype=np.int64)
+    for n, members in enumerate(hap_members, 1):
+        total = int(asm.lengths[members].sum())
+        names.append('group{}_{}bp'.format(n, total))
+        lengths.append(total)
+        ctg_group[members] = n - 1
+    groups = Groups(members=hap_members, names=names, lengths=lengths,
+                    ctg_group=ctg_group)
+
+    with open(os.path.join(final_dir, 'final_clusters.txt'), 'w') as f:
+        f.write('#Group\tnContigs\tContigs\n')
+        for gname, members, total in zip(names, hap_members, lengths):
+            f.write('{}\t{}\t{}\n'.format(
+                gname, len(members),
+                ' '.join(asm.names[c] for c in members)))
+    for gname, members in zip(names, hap_members):
+        with open(os.path.join(final_dir, '{}.txt'.format(gname)), 'w') as f:
+            f.write('#Contig\tRECounts\tLength\n')
+            for c in members:
+                f.write('{}\t{}\t{}\n'.format(
+                    asm.names[c], int(asm.re_sites[c]),
+                    int(asm.lengths[c])))
+    return ReassignResult(groups=groups, nrounds_run=0, hc_applied=False)
+
+
 def reassign_stage(cres: ClusterStageResult, nchrs: int,
                    cfg: PipelineConfig, outdir: str,
                    inflation: Optional[Decimal] = None) -> ReassignResult:
     """02.reassign (parity: HapHiC_reassign.run)."""
     os.makedirs(outdir, exist_ok=True)
     asm = cres.asm
+    if cfg.quick_view:
+        return _mock_quick_view_groups(asm, cfg.gfa, outdir)
     inflation = inflation or cres.sweep.recommended_inflation
     if inflation is None:
         raise RuntimeError(
@@ -451,6 +515,10 @@ def run_pipeline(fasta: str, alignments: str, nchrs: int,
                  cfg: Optional[PipelineConfig] = None,
                  outdir: str = '.') -> PipelineResult:
     cfg = cfg or PipelineConfig()
+    if cfg.quick_view:
+        # quick view forces the no-GA fast path
+        # (reference scripts/HapHiC_sort.py:869-870)
+        cfg.skip_allhic = True
     os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
     cres = cluster_stage(fasta, alignments, nchrs, cfg,

@@ -90,3 +90,65 @@ def test_pipeline_quick_view_steps(sim):
     res = run_pipeline(fa, pairs, nchrs=3, cfg=cfg, outdir=str(out))
     assert res.reassign is None and res.sort is None
     assert (out / '01.cluster' / 'HT_links.pkl').exists()
+
+
+def test_pipeline_quick_view_mode(sim):
+    """--quick_view: cluster exits after HT_links.pkl, reassign mocks a
+    single all-contig group, sort skips the GA (reference
+    scripts/HapHiC_cluster.py:2884-2887, HapHiC_reassign.py:787-818,
+    HapHiC_sort.py:869-870)."""
+    tmp, fa, pairs, chrom_of = sim
+    out = tmp / 'run_qv'
+    cfg = PipelineConfig(quick_view=True)
+    res = run_pipeline(fa, pairs, nchrs=3, cfg=cfg, outdir=str(out))
+
+    # cluster stage stops at HT_links.pkl: no clm, no clustering outputs
+    assert (out / '01.cluster' / 'HT_links.pkl').exists()
+    assert not (out / '01.cluster' / 'paired_links.clm').exists()
+    assert not (out / '01.cluster' / 'full_links.pkl').exists()
+    assert res.cluster.sweep is None
+
+    # reassign mocks one group holding every contig (no GFA)
+    clusters = (out / '02.reassign' / 'final_groups' /
+                'final_clusters.txt').read_text().splitlines()
+    assert len(clusters) == 2             # header + one group
+    gname, nctg, ctgs = clusters[1].split('\t')
+    assert int(nctg) == len(chrom_of)
+    assert set(ctgs.split()) == set(chrom_of)
+    assert (out / '02.reassign' / 'final_groups' /
+            '{}.txt'.format(gname)).exists()
+    assert not (out / '02.reassign' / 'split_clms').exists()
+
+    # sort ran fast sort only (skip_allhic forced): no .tour GA history
+    tours = list((out / '03.sort' / 'final_tours').glob('*.tour'))
+    assert len(tours) == 1
+    body = tours[0].read_text()
+    assert '>GA' not in body
+
+    # build still emits scaffolds covering every contig
+    _, agp, _ = res.scaffold_files
+    seen = [l.split('\t')[5] for l in open(agp) if '\tW\t' in l]
+    assert sorted(seen) == sorted(chrom_of)
+
+
+def test_pipeline_quick_view_per_hap_groups(sim):
+    """With >1 GFA, quick view mocks one group per haplotype
+    (reference scripts/HapHiC_reassign.py:798-814)."""
+    tmp, fa, pairs, chrom_of = sim
+    names = sorted(chrom_of)
+    half = len(names) // 2
+    gfas = []
+    for h, sub in enumerate((names[:half], names[half:])):
+        p = tmp / 'hap{}.gfa'.format(h)
+        with open(p, 'w') as f:
+            for name in sub:
+                f.write('S\t{}\t*\tLN:i:8000\trd:i:30\n'.format(name))
+        gfas.append(str(p))
+    out = tmp / 'run_qv_hap'
+    cfg = PipelineConfig(quick_view=True, gfa=','.join(gfas))
+    run_pipeline(fa, pairs, nchrs=3, cfg=cfg, outdir=str(out))
+    clusters = (out / '02.reassign' / 'final_groups' /
+                'final_clusters.txt').read_text().splitlines()
+    assert len(clusters) == 3             # header + two haplotype groups
+    got = [set(l.split('\t')[2].split()) for l in clusters[1:]]
+    assert got == [set(names[:half]), set(names[half:])]

@@ -1,0 +1,98 @@
+"""Sparse (ELL top-K) MCL vs the dense path.
+
+The sparse engine must reproduce the dense partitions exactly when K
+covers the true column support, and still recover the same clusters
+with a tight K on chromosome-like block matrices (selection pruning).
+"""
+
+import numpy as np
+import pytest
+
+from haphic_tpu.cluster import mcl as mcl_mod
+from haphic_tpu.cluster import sparse_mcl as sp
+
+
+def _block_matrix(n=96, n_blocks=4, seed=0, noise=4):
+    rng = np.random.default_rng(seed)
+    m = np.zeros((n, n), dtype=np.float64)
+    block = n // n_blocks
+    for b in range(n_blocks):
+        lo, hi = b * block, min(n, (b + 1) * block)
+        size = hi - lo
+        w = rng.integers(5, 60, size=(size, size)).astype(np.float64)
+        mask = rng.random((size, size)) < 0.5
+        blk = np.triu(w * mask, 1)
+        m[lo:hi, lo:hi] += blk + blk.T
+    for _ in range(noise * n):
+        i, j = rng.integers(0, n, size=2)
+        if i != j:
+            m[i, j] += 1
+            m[j, i] += 1
+    return m
+
+
+def _to_coo(m):
+    i, j = np.nonzero(np.triu(m))
+    return i, j, m[i, j]
+
+
+def test_coo_to_ell_reconstructs_normalized_matrix():
+    m = _block_matrix(n=32, n_blocks=2, seed=1)
+    i, j, w = _to_coo(m)
+    n = m.shape[0]
+    idx, val = sp.coo_to_ell(i, j, w, n, K=n)
+    dense = np.zeros((n, n), dtype=np.float64)
+    for c in range(n):
+        sel = idx[c] < n
+        dense[idx[c][sel], c] = val[c][sel]
+    withloops = m + np.eye(n)
+    expected = withloops / withloops.sum(axis=0, keepdims=True)
+    np.testing.assert_allclose(dense, expected, rtol=1e-5, atol=1e-7)
+
+
+def _partitions(res_dense, res_sparse, inflations):
+    for b in range(len(inflations)):
+        dense_part = mcl_mod.interpret_result(res_dense.matrices[b])
+        sparse_part = res_sparse.interpret(b)
+        yield b, dense_part, sparse_part
+
+
+@pytest.mark.parametrize('K_mode', ['exact', 'capped'])
+def test_sparse_matches_dense_partitions(K_mode):
+    m = _block_matrix(n=96, n_blocks=4, seed=2)
+    n = m.shape[0]
+    i, j, w = _to_coo(m)
+    inflations = [1.2, 1.5, 2.0, 2.8]
+    K = n if K_mode == 'exact' else 48
+    dense = mcl_mod.run_mcl(m.astype(np.float32), inflations, max_iter=80)
+    sparse = sp.run_mcl_sparse(i, j, w, n, inflations, K=K, max_iter=80)
+    n_match = 0
+    for b, dp, spart in _partitions(dense, sparse, inflations):
+        if dp is None:
+            continue
+        assert spart is not None, (b, K_mode)
+        if dp == spart:
+            n_match += 1
+    assert n_match >= 3, 'partitions diverged in %d/4 inflations' % (
+        4 - n_match)
+
+
+def test_sparse_convergence_flags():
+    m = _block_matrix(n=64, n_blocks=2, seed=3)
+    i, j, w = _to_coo(m)
+    res = sp.run_mcl_sparse(i, j, w, m.shape[0], [1.5], K=64, max_iter=120)
+    assert bool(res.converged[0])
+    assert int(res.n_iters[0]) < 120
+
+
+def test_sparse_expansion_power_3():
+    m = _block_matrix(n=48, n_blocks=2, seed=4)
+    i, j, w = _to_coo(m)
+    n = m.shape[0]
+    dense = mcl_mod.run_mcl(m.astype(np.float32), [1.6], expansion=3,
+                            max_iter=80)
+    sparse = sp.run_mcl_sparse(i, j, w, n, [1.6], K=n, expansion=3,
+                               max_iter=80)
+    dp = mcl_mod.interpret_result(dense.matrices[0])
+    assert dp is not None
+    assert sparse.interpret(0) == dp
