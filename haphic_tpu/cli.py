@@ -944,6 +944,10 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format='%(asctime)s <%(module)s> [%(funcName)s] %(message)s',
         datefmt='%Y-%m-%d %H:%M:%S')
+    # join the multi-host runtime when a coordinator is configured
+    # (no-op single-host; see parallel/mesh.py for the execution model)
+    from haphic_tpu.parallel.mesh import init_distributed
+    init_distributed()
     return {
         'pipeline': cmd_pipeline,
         'cluster': cmd_cluster,

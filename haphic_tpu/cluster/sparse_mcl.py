@@ -144,18 +144,35 @@ def _col_allclose_stat(old_idx, old_val, new_idx, new_val, n,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('n', 'K', 'chunk', 'max_iter', 'expansion'))
-def _sparse_mcl_batched(idx0, val0, inflations, n: int, K: int,
-                        chunk: int, max_iter: int, pruning,
-                        expansion: int):
-    """Run the batched sparse MCL sweep.
+@functools.partial(jax.jit, static_argnames=('n', 'K'))
+def _first_iteration(idx0, val0, inflations, n: int, K: int, pruning):
+    """Iteration 0: inflate + prune only, per inflation (the sweep
+    pre-expands once, reference scripts/HapHiC_cluster.py:2144-2149).
+    Returns (B, n+1, K) idx/val."""
+    infl = inflations.astype(jnp.float32)
+    i0, v0 = jax.vmap(
+        lambda f: jax.vmap(
+            lambda ci, cv: _inflate_cap_prune(ci, cv, f, pruning, n, K)
+        )(idx0, val0))(infl)
+    i0 = i0.at[:, n].set(n)
+    v0 = v0.at[:, n].set(0.0)
+    return i0, v0
 
-    idx0/val0: (n+1, K) pre-expanded column-normalized base matrix
-    inflations: (B,)
-    Returns (idx (B,n+1,K), val, n_iters (B,), converged (B,))
-    """
+
+@functools.partial(jax.jit,
+                   static_argnames=('n', 'K', 'chunk', 'expansion'))
+def _sweep_step(idx, val, inflations, active, n: int, K: int,
+                chunk: int, pruning, expansion: int):
+    """One expand→inflate→cap→prune iteration for the whole inflation
+    batch, streaming columns through a lax.scan. Returns
+    (new_idx, new_val, stat) where stat is the per-inflation allclose
+    statistic vs the input (≤1e-8 ⇒ converged). Frozen inflations
+    (active=False) pass through unchanged.
+
+    Kept as a standalone jitted step — the convergence loop runs on the
+    host — so one compile serves every inflation chunk and iteration
+    count, and sharding annotations on the column axis extend it to
+    multi-device/multi-host meshes (see run_mcl_sparse(mesh=...))."""
     B = inflations.shape[0]
     n1 = n + 1
     nchunks = -(-n1 // chunk)
@@ -164,75 +181,73 @@ def _sparse_mcl_batched(idx0, val0, inflations, n: int, K: int,
     col_blocks = col_ids.reshape(nchunks, chunk)
     infl = inflations.astype(jnp.float32)
 
-    def first_iter_col(ci, cv, f):
-        return _inflate_cap_prune(ci, cv, f, pruning, n, K)
+    def step(carry, cols):
+        maxstat = carry
 
-    # iteration 0: inflate + prune only (sweep pre-expands once,
-    # reference scripts/HapHiC_cluster.py:2144-2149)
-    i0, v0 = jax.vmap(
-        lambda f: jax.vmap(lambda ci, cv: first_iter_col(ci, cv, f))(
-            idx0, val0))(infl)
-    # keep the pad row empty
-    i0 = i0.at[:, n].set(n)
-    v0 = v0.at[:, n].set(0.0)
+        def per_b(A_i, A_v, f):
+            c_i = A_i[cols]                      # (chunk, K)
+            c_v = A_v[cols]
 
-    def one_iteration(idx, val):
-        """expand + inflate + cap + prune for all B, streaming columns;
-        also returns the per-B allclose statistic vs the input."""
-        def step(carry, cols):
-            maxstat = carry
+            def per_col(ci_row, cv_row):
+                di, dv = _expand_col(A_i, A_v, ci_row, cv_row, n)
+                for _ in range(expansion - 2):
+                    # higher expansion powers: re-expand the deduped
+                    # column (entries beyond K² fold through the cap)
+                    di, dv = _inflate_cap_prune(
+                        di, dv, jnp.float32(1.0), 0.0, n, K)
+                    di, dv = _expand_col(A_i, A_v, di, dv, n)
+                return _inflate_cap_prune(di, dv, f, pruning, n, K)
 
-            def per_b(A_i, A_v, f):
-                c_i = A_i[cols]                      # (chunk, K)
-                c_v = A_v[cols]
+            ni, nv = jax.vmap(per_col)(c_i, c_v)
+            stat = jax.vmap(
+                lambda oi, ov, qi, qv: _col_allclose_stat(
+                    oi, ov, qi, qv, n))(c_i, c_v, ni, nv)
+            return ni, nv, jnp.max(stat)
 
-                def per_col(ci_row, cv_row):
-                    di, dv = _expand_col(A_i, A_v, ci_row, cv_row, n)
-                    for _ in range(expansion - 2):
-                        # higher expansion powers: re-expand the deduped
-                        # column (entries beyond K² fold through cap)
-                        di, dv = _inflate_cap_prune(
-                            di, dv, jnp.float32(1.0), 0.0, n, K)
-                        di, dv = _expand_col(A_i, A_v, di, dv, n)
-                    return _inflate_cap_prune(di, dv, f, pruning, n, K)
+        ni, nv, stat = jax.vmap(per_b)(idx, val, infl)
+        return jnp.maximum(maxstat, stat), (ni, nv)
 
-                ni, nv = jax.vmap(per_col)(c_i, c_v)
-                stat = jax.vmap(
-                    lambda oi, ov, qi, qv: _col_allclose_stat(
-                        oi, ov, qi, qv, n))(c_i, c_v, ni, nv)
-                return ni, nv, jnp.max(stat)
+    stat0 = jnp.full((B,), -jnp.inf)
+    maxstat, (ys_i, ys_v) = lax.scan(step, stat0, col_blocks)
+    new_idx = ys_i.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
+    new_val = ys_v.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
+    new_idx = new_idx.at[:, n].set(n)
+    new_val = new_val.at[:, n].set(0.0)
+    keep = active[:, None, None]
+    new_idx = jnp.where(keep, new_idx, idx)
+    new_val = jnp.where(keep, new_val, val)
+    return new_idx, new_val, maxstat
 
-            ni, nv, stat = jax.vmap(per_b)(idx, val, infl)
-            return jnp.maximum(maxstat, stat), (ni, nv)
 
-        stat0 = jnp.full((B,), -jnp.inf)
-        maxstat, (ys_i, ys_v) = lax.scan(step, stat0, col_blocks)
-        new_idx = ys_i.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
-        new_val = ys_v.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
-        new_idx = new_idx.at[:, n].set(n)
-        new_val = new_val.at[:, n].set(0.0)
-        return new_idx, new_val, maxstat
-
-    def cond(state):
-        it, idx, val, active, conv_at = state
-        return jnp.logical_and(it < max_iter, jnp.any(active))
-
-    def body(state):
-        it, idx, val, active, conv_at = state
-        ni, nv, maxstat = one_iteration(idx, val)
-        conv = jnp.logical_and(it >= 2, maxstat <= 1e-8)
-        newly = jnp.logical_and(active, conv)
-        conv_at = jnp.where(newly, it + 1, conv_at)
-        keep = active[:, None, None]
-        idx = jnp.where(keep, ni, idx)
-        val = jnp.where(keep, nv, val)
-        active = jnp.logical_and(active, jnp.logical_not(conv))
-        return it + 1, idx, val, active, conv_at
-
-    state = (jnp.array(1, jnp.int32), i0, v0,
-             jnp.ones((B,), bool), jnp.full((B,), max_iter, jnp.int32))
-    it, idx, val, active, conv_at = lax.while_loop(cond, body, state)
-    return idx, val, conv_at, jnp.logical_not(active)
+def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
+                     max_iter: int, pruning: float, expansion: int,
+                     sharding=None):
+    """Host convergence loop for one inflation batch. ``sharding`` (a
+    NamedSharding over the column axis) turns each step into an SPMD
+    program: A is all-gathered for the column gathers, per-column work
+    and outputs stay sharded."""
+    B = infl.shape[0]
+    idx, val = _first_iteration(idx0, val0, infl, n, K, float(pruning))
+    if sharding is not None:
+        idx = jax.device_put(idx, sharding)
+        val = jax.device_put(val, sharding)
+    active = np.ones(B, dtype=bool)
+    conv_at = np.full(B, max_iter, dtype=np.int32)
+    for it in range(1, max_iter):
+        idx, val, stat = _sweep_step(idx, val, infl, jnp.asarray(active),
+                                     n, K, chunk, float(pruning), expansion)
+        if sharding is not None:
+            idx = jax.device_put(idx, sharding)
+            val = jax.device_put(val, sharding)
+        stat_h = np.asarray(stat)
+        if it >= 2:
+            newly = active & (stat_h <= 1e-8)
+            conv_at[newly] = it + 1
+            active &= ~newly
+        if not active.any():
+            break
+    return (np.asarray(idx), np.asarray(val), conv_at,
+            np.logical_not(active))
 
 
 @functools.partial(jax.jit, static_argnames=('n', 'K', 'chunk'))
@@ -387,13 +402,19 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
                    inflations: Sequence[float], K: int = DEFAULT_K,
                    expansion: int = 2, max_iter: int = 200,
                    pruning: float = 1e-4, add_self_loops: bool = True,
-                   inflation_batch: int = 0,
-                   chunk: int = 0) -> SparseMCLResult:
+                   inflation_batch: int = 0, chunk: int = 0,
+                   mesh=None, axis_name: str = 'data') -> SparseMCLResult:
     """Sparse MCL inflation sweep over a symmetric COO link matrix.
 
     ``K`` bounds the per-column support (selection pruning). With
     K ≥ max column support of every iterate the result is exact; smaller
     K approximates (validated against the dense path in tests).
+
+    With ``mesh``, every (B, n+1, K) iterate is sharded over the mesh on
+    the *column* axis: the per-column expand/dedupe/prune work divides
+    across devices while the gathers of referenced columns all-gather A
+    over ICI/DCN — O(n·K) bytes per device per iteration, so the
+    communication:compute ratio is 1:K.
     """
     if K > n:
         K = max(1, n)
@@ -401,16 +422,21 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     B = len(infl)
     idx0, val0 = coo_to_ell(i, j, w, n, K, add_self_loops=add_self_loops)
 
-    chunk = chunk or _auto_chunk(min(B, inflation_batch or B), K, n)
-    idx0_j = jnp.asarray(idx0)
-    val0_j = jnp.asarray(val0)
-    for _ in range(expansion - 1):
-        idx0_j, val0_j = _pre_expand(idx0_j, val0_j, n, K, chunk)
-
     # chunk the inflation axis for memory: ~4 live (B, n, K) buffers
     if not inflation_batch:
         per = 4 * (n + 1) * K * 8
         inflation_batch = max(1, min(B, int((6 << 30) // max(per, 1))))
+    chunk = chunk or _auto_chunk(min(B, inflation_batch), K, n)
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, axis_name, None))
+
+    idx0_j = jnp.asarray(idx0)
+    val0_j = jnp.asarray(val0)
+    for _ in range(expansion - 1):
+        idx0_j, val0_j = _pre_expand(idx0_j, val0_j, n, K, chunk)
 
     out_idx = np.empty((B, n + 1, K), dtype=np.int32)
     out_val = np.empty((B, n + 1, K), dtype=np.float32)
@@ -418,12 +444,17 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     conv = np.empty((B,), dtype=bool)
     for s in range(0, B, inflation_batch):
         e = min(B, s + inflation_batch)
-        ii, vv, it, cc = _sparse_mcl_batched(
-            idx0_j, val0_j, jnp.asarray(infl[s:e]), n, K, chunk,
-            max_iter, float(pruning), expansion)
-        out_idx[s:e] = np.asarray(ii)
-        out_val[s:e] = np.asarray(vv)
-        iters[s:e] = np.asarray(it)
-        conv[s:e] = np.asarray(cc)
+        # pad the last chunk to the full batch so one compiled step
+        # serves every chunk
+        bpad = inflation_batch - (e - s)
+        infl_c = np.pad(infl[s:e], (0, bpad), mode='edge') \
+            if bpad else infl[s:e]
+        ii, vv, it, cc = _run_sweep_batch(
+            idx0_j, val0_j, jnp.asarray(infl_c), n, K, chunk,
+            max_iter, pruning, expansion, sharding=sharding)
+        out_idx[s:e] = ii[:e - s]
+        out_val[s:e] = vv[:e - s]
+        iters[s:e] = it[:e - s]
+        conv[s:e] = cc[:e - s]
     return SparseMCLResult(idx=out_idx, val=out_val, n=n, n_iters=iters,
                            converged=conv)

@@ -95,6 +95,9 @@ class CoordPairs:
     counts: np.ndarray
     upair_i: np.ndarray
     upair_j: np.ndarray
+    # per-record global stream-order keys (set only for sharded ingest;
+    # lets merge_link_data re-apply the per-pair cap in true file order)
+    okey: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -110,6 +113,24 @@ class LinkData:
     ctg_pair_to_frag: Optional[COO] = None  # (ctg pair key → frag pair key) map
 
 
+def _compact_counts(raws: List[np.ndarray], acc):
+    """Collapse raw key appends (weight 1 each) into/with a
+    (unique keys, counts) accumulator."""
+    if not raws:
+        return acc if acc is not None else (np.zeros(0, np.int64),
+                                            np.zeros(0, np.int64))
+    keys = np.concatenate(raws)
+    if acc is None:
+        uk, cnt = np.unique(keys, return_counts=True)
+        return uk, cnt.astype(np.int64)
+    allk = np.concatenate([acc[0], keys])
+    allw = np.concatenate([acc[1], np.ones(len(keys), np.int64)])
+    order = np.argsort(allk, kind='stable')
+    allk, allw = allk[order], allw[order]
+    uk, start = np.unique(allk, return_index=True)
+    return uk, np.add.reduceat(allw, start)
+
+
 class LinkAccumulator:
     """Streaming accumulator over :class:`AlignChunk`s.
 
@@ -118,11 +139,17 @@ class LinkAccumulator:
       need_coords        remove_allelic_links or remove_concentrated_links
       max_read_pairs     --max_read_pairs
       track_ctg_pair_to_frag  bins + remove_allelic_links
+
+    Memory is bounded: every ``compact_bytes`` of raw appends the
+    count-type key lists collapse to (unique, count) runs, coord pairs
+    re-cap to max_read_pairs per pair, and CLM records spill to a temp
+    file — peak RSS scales with unique pairs, not read pairs.
     """
 
     def __init__(self, frags: Fragments, flank_kbp: int = 0,
                  need_coords: bool = False, max_read_pairs: int = 200,
-                 keep_clm: bool = True):
+                 keep_clm: bool = True,
+                 compact_bytes: int = 512 << 20):
         self.frags = frags
         self.asm = frags.asm
         self.flank_bp = flank_kbp * 1000
@@ -134,13 +161,40 @@ class LinkAccumulator:
         self._ht: List[np.ndarray] = []          # int64 HT keys
         self._clm_key: List[np.ndarray] = []
         self._clm_d: List[np.ndarray] = []
+        self._clm_seq: List[int] = []            # chunk seq per append
+        self._clm_lens: List[int] = []           # records per append
         self._coord_key: List[np.ndarray] = []
         self._coord_ci: List[np.ndarray] = []
         self._coord_cj: List[np.ndarray] = []
+        self._coord_okey: List[np.ndarray] = []  # per-record order keys
+        self._coord_seq: List[int] = []
         self._pair_frag: List[np.ndarray] = []   # stacked (ctgkey, fragkey)
         self.track_ctg_pair_to_frag = False
+        # ---- bounded-memory machinery -------------------------------
+        # The reference streams dict updates so its RSS tracks unique
+        # pairs, not read pairs (scripts/HapHiC_cluster.py:1596-1752).
+        # Columnar appends are O(read pairs); to stay sublinear the
+        # accumulator periodically (a) collapses full/flank/HT key lists
+        # into (unique key, count) runs, (b) caps coord pairs to the
+        # first max_read_pairs per pair, and (c) spills raw CLM records
+        # (which the CLM file needs in full) to a temp file.
+        self.compact_bytes = compact_bytes
+        self._raw_bytes = 0
+        self._full_acc = None                    # (keys, counts)
+        self._flank_acc = None
+        self._ht_acc = None
+        self._coord_totals_acc = None            # pre-cap totals
+        self._clm_spill = None                   # tempfile handle
+        self._clm_spilled_records = 0
+        self._coord_seq_counter = 0
 
-    def consume(self, chunk: AlignChunk) -> None:
+    def consume(self, chunk: AlignChunk, seq: Optional[int] = None) -> None:
+        """Accumulate one alignment chunk. ``seq`` is the chunk's global
+        ordinal in the full alignment stream — pass it when shards of
+        the stream are processed by different hosts so that CLM/coord
+        insertion-order keys stay globally consistent (two records from
+        the same chunk always live on the same shard, so chunk ordinal +
+        within-chunk offset is an exact global order)."""
         asm, frags = self.asm, self.frags
         n = len(asm)
         ref, mref = chunk.ref, chunk.mref
@@ -212,6 +266,10 @@ class LinkAccumulator:
             ]).astype(np.int64)
             self._clm_key.append(key)
             self._clm_d.append(d)
+            self._clm_lens.append(len(key))
+            if seq is not None:
+                self._clm_seq.append(seq)
+            self._raw_bytes += key.nbytes + d.nbytes
 
         # HT halves: tail when coord*2 > len (reference :404-416)
         hti = ci * 2 + (pi * 2 > len_i)
@@ -222,6 +280,99 @@ class LinkAccumulator:
             self._coord_key.append(key)
             self._coord_ci.append(pi)
             self._coord_cj.append(pj)
+            # per-record stream-order key: global when a chunk seq is
+            # given, else a process-local running ordinal — both are
+            # stable under compaction re-sorts
+            base = seq if seq is not None else self._coord_seq_counter
+            self._coord_okey.append(
+                (np.uint64(base) << np.uint64(32)
+                 | np.arange(len(key), dtype=np.uint64)).astype(np.int64))
+            self._coord_seq_counter += 1
+            if seq is not None:
+                self._coord_seq.append(seq)
+            self._raw_bytes += key.nbytes * 4
+
+        self._raw_bytes += key.nbytes * 2
+        if self._flank:
+            self._raw_bytes += self._flank[-1].nbytes
+        if self._raw_bytes >= self.compact_bytes:
+            self._compact()
+
+    # ---- bounded-memory compaction ----
+
+    def _cap_coords(self) -> None:
+        """Sort coord records by (pair, stream order) and keep the first
+        max_read_pairs per pair; pre-cap totals accumulate separately
+        (only records not yet counted — the head of the lists holds the
+        previously capped, already-counted survivors)."""
+        if not self._coord_key:
+            return
+        counted = getattr(self, '_coord_counted', 0)
+        self._coord_totals_acc = _compact_counts(
+            self._coord_key[counted:], self._coord_totals_acc)
+        ckey = np.concatenate(self._coord_key)
+        cci = np.concatenate(self._coord_ci)
+        ccj = np.concatenate(self._coord_cj)
+        okey = np.concatenate(self._coord_okey)
+        order = np.lexsort((okey, ckey))
+        ckey, cci, ccj, okey = (ckey[order], cci[order], ccj[order],
+                                okey[order])
+        _, starts, counts = np.unique(ckey, return_index=True,
+                                      return_counts=True)
+        rank = np.arange(len(ckey)) - np.repeat(starts, counts)
+        keep = rank < self.max_read_pairs
+        self._coord_key = [ckey[keep]]
+        self._coord_ci = [cci[keep]]
+        self._coord_cj = [ccj[keep]]
+        self._coord_okey = [okey[keep]]
+        self._coord_counted = 1
+
+    def _spill_clm(self) -> None:
+        if not self._clm_key:
+            return
+        if self._clm_spill is None:
+            import tempfile
+            self._clm_spill = tempfile.TemporaryFile(
+                prefix='haphic_clm_spill_')
+            self._clm_spill_blocks: List[int] = []
+        keys = np.concatenate(self._clm_key)
+        d = np.concatenate(self._clm_d, axis=1)
+        self._clm_spill.write(keys.tobytes())
+        self._clm_spill.write(np.ascontiguousarray(d.T).tobytes())
+        self._clm_spill_blocks.append(len(keys))
+        self._clm_spilled_records += len(keys)
+        self._clm_key = []
+        self._clm_d = []
+
+    def _compact(self) -> None:
+        self._full_acc = _compact_counts(self._full, self._full_acc)
+        self._flank_acc = _compact_counts(self._flank, self._flank_acc)
+        self._ht_acc = _compact_counts(self._ht, self._ht_acc)
+        self._full = []
+        self._flank = []
+        self._ht = []
+        if self.need_coords:
+            self._cap_coords()
+        if self.keep_clm:
+            self._spill_clm()
+        self._raw_bytes = 0
+
+    def _read_clm_spill(self):
+        """(keys, d (4, R)) of all spilled CLM records, in append order."""
+        self._clm_spill.seek(0)
+        R = self._clm_spilled_records
+        out_k = np.empty(R, dtype=np.int64)
+        out_d = np.empty((R, 4), dtype=np.int64)
+        pos = 0
+        for nrec in self._clm_spill_blocks:
+            out_k[pos:pos + nrec] = np.frombuffer(
+                self._clm_spill.read(8 * nrec), dtype=np.int64)
+            out_d[pos:pos + nrec] = np.frombuffer(
+                self._clm_spill.read(32 * nrec),
+                dtype=np.int64).reshape(nrec, 4)
+            pos += nrec
+        assert pos == R
+        return out_k, out_d.T
 
     # ---- finalization ----
 
@@ -234,47 +385,76 @@ class LinkAccumulator:
                 return np.zeros(0, dtype=dtype)
             return np.concatenate(lst)
 
-        full_keys = cat(self._full)
-        uk, cnt = np.unique(full_keys, return_counts=True)
+        uk, cnt = _compact_counts(self._full, self._full_acc)
         full = COO(i=uk // n, j=uk % n, w=cnt.astype(np.float64))
 
-        flank_keys = cat(self._flank)
-        ufk, fcnt = np.unique(flank_keys, return_counts=True)
+        ufk, fcnt = _compact_counts(self._flank, self._flank_acc)
         flank = COO(i=ufk // m, j=ufk % m, w=fcnt.astype(np.float64))
         frag_links = np.zeros(m, dtype=np.int64)
         np.add.at(frag_links, flank.i, fcnt)
         np.add.at(frag_links, flank.j, fcnt)
 
-        ht_keys = cat(self._ht)
-        uhk, hcnt = np.unique(ht_keys, return_counts=True)
+        uhk, hcnt = _compact_counts(self._ht, self._ht_acc)
         ht = COO(i=uhk // (2 * n), j=uhk % (2 * n), w=hcnt.astype(np.float64))
 
         clm = None
         if self.keep_clm:
-            clm_keys = cat(self._clm_key)
-            d = (np.concatenate(self._clm_d, axis=1)
-                 if self._clm_d else np.zeros((4, 0), dtype=np.int64))
+            # per-record global stream-order key: chunk ordinal << 32 |
+            # offset within the chunk's kept records. Exact across
+            # shards because a chunk never spans shards.
+            g = None
+            if len(self._clm_seq) == len(self._clm_lens):
+                parts_g = [np.uint64(s) << np.uint64(32)
+                           | np.arange(ln, dtype=np.uint64)
+                           for s, ln in zip(self._clm_seq, self._clm_lens)]
+                g = (np.concatenate(parts_g) if parts_g
+                     else np.zeros(0, dtype=np.uint64)).astype(np.int64)
+            mem_keys = cat(self._clm_key)
+            mem_d = (np.concatenate(self._clm_d, axis=1)
+                     if self._clm_d else np.zeros((4, 0), dtype=np.int64))
+            if self._clm_spill is not None:
+                sp_keys, sp_d = self._read_clm_spill()
+                clm_keys = np.concatenate([sp_keys, mem_keys])
+                d = np.concatenate([sp_d, mem_d], axis=1)
+                self._clm_spill.close()
+                self._clm_spill = None
+            else:
+                clm_keys, d = mem_keys, mem_d
             u_keys, u_first = np.unique(clm_keys, return_index=True)
+            u_first_seen = g[u_first] if g is not None else u_first
             order = np.argsort(clm_keys, kind='stable')
             clm_keys = clm_keys[order]
             d = d[:, order]
             clm = CLMData(pair_i=(clm_keys // n).astype(np.int64),
                           pair_j=(clm_keys % n).astype(np.int64), d=d,
-                          u_keys=u_keys, u_first_seen=u_first)
+                          u_keys=u_keys, u_first_seen=u_first_seen)
 
         coords = None
         if self.need_coords:
             ckey = cat(self._coord_key)
             cci = cat(self._coord_ci)
             ccj = cat(self._coord_cj)
-            order = np.argsort(ckey, kind='stable')
+            g = cat(self._coord_okey) if self._coord_okey else None
+            if g is not None:
+                order = np.lexsort((g, ckey))
+                g = g[order]
+            else:
+                order = np.argsort(ckey, kind='stable')
             ckey, cci, ccj = ckey[order], cci[order], ccj[order]
-            upk, starts, total = np.unique(ckey, return_index=True,
-                                           return_counts=True)
+            # true pre-cap totals: compaction may already have capped
+            # part of the stream, so merge the not-yet-counted records
+            # with the running totals accumulator
+            counted = getattr(self, '_coord_counted', 0)
+            upk, total = _compact_counts(self._coord_key[counted:],
+                                         self._coord_totals_acc)
+            _, starts, scount = np.unique(ckey, return_index=True,
+                                          return_counts=True)
             # rank within each pair, keep the first max_read_pairs
-            rank = np.arange(len(ckey)) - np.repeat(starts, total)
+            rank = np.arange(len(ckey)) - np.repeat(starts, scount)
             keep = rank < self.max_read_pairs
             ckey, cci, ccj = ckey[keep], cci[keep], ccj[keep]
+            if g is not None:
+                g = g[keep]
             upk2, starts2, cnt2 = np.unique(ckey, return_index=True,
                                             return_counts=True)
             assert np.array_equal(upk, upk2)
@@ -285,7 +465,8 @@ class LinkAccumulator:
                 total_counts_i=upk, total_counts=total,
                 starts=starts2, counts=cnt2,
                 upair_i=(upk // n).astype(np.int64),
-                upair_j=(upk % n).astype(np.int64))
+                upair_j=(upk % n).astype(np.int64),
+                okey=g)
 
         p2f = None
         if self.track_ctg_pair_to_frag and self._pair_frag:
@@ -304,9 +485,11 @@ class LinkAccumulator:
 def aggregate(chunks: Iterable[AlignChunk], frags: Fragments,
               flank_kbp: int = 0, need_coords: bool = False,
               max_read_pairs: int = 200, keep_clm: bool = True,
-              track_ctg_pair_to_frag: bool = False) -> LinkData:
+              track_ctg_pair_to_frag: bool = False,
+              compact_bytes: int = 512 << 20) -> LinkData:
     acc = LinkAccumulator(frags, flank_kbp=flank_kbp, need_coords=need_coords,
-                          max_read_pairs=max_read_pairs, keep_clm=keep_clm)
+                          max_read_pairs=max_read_pairs, keep_clm=keep_clm,
+                          compact_bytes=compact_bytes)
     acc.track_ctg_pair_to_frag = track_ctg_pair_to_frag
     for chunk in chunks:
         acc.consume(chunk)

@@ -32,6 +32,53 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_distributed_initialized = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the JAX distributed runtime for multi-host execution.
+
+    The 4-host execution model (BASELINE.md / SURVEY §2.3): every host
+    runs the same `haphic` invocation; `jax.distributed.initialize`
+    (auto-configured on TPU pods, or explicit via arguments /
+    JAX_COORDINATOR_ADDRESS-style env) joins them into one runtime whose
+    `jax.devices()` spans all chips. Ingest shards the alignment stream
+    by process index and allreduces link tensors over DCN
+    (parallel/ingest.py); the MCL sweep shards inflations or matrix
+    columns over the global mesh (cluster/sparse_mcl.py, mesh=...); the
+    sort stage shards group buckets. Collectives between co-located
+    chips ride ICI; only ingest merge and cross-host matrix gathers
+    touch DCN.
+
+    Returns the process count. Safe to call multiple times; a no-op in
+    single-process runs with no coordinator configured.
+    """
+    global _distributed_initialized
+    import logging
+    import os
+    have_cfg = (coordinator_address
+                or os.environ.get('JAX_COORDINATOR_ADDRESS')
+                or os.environ.get('COORDINATOR_ADDRESS'))
+    if not _distributed_initialized and have_cfg:
+        kw = {}
+        if coordinator_address:
+            kw['coordinator_address'] = coordinator_address
+        if num_processes is not None:
+            kw['num_processes'] = num_processes
+        if process_id is not None:
+            kw['process_id'] = process_id
+        try:
+            jax.distributed.initialize(**kw)
+            _distributed_initialized = True
+        except Exception as e:     # misconfigured env must not kill runs
+            logging.getLogger(__name__).warning(
+                'jax.distributed.initialize failed (%s); continuing '
+                'single-process', e)
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = 'data') -> Mesh:
     devs = jax.devices()

@@ -203,12 +203,24 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     remove_concentrated = (False if cfg.quick_view
                            else cfg.remove_concentrated_links)
     need_coords = bool(remove_allelic) or remove_concentrated
-    links = aggregate(reader, frags, flank_kbp=cfg.flank,
-                      need_coords=need_coords,
-                      max_read_pairs=cfg.max_read_pairs,
-                      keep_clm=not cfg.quick_view,
-                      track_ctg_pair_to_frag=bool(remove_allelic)
-                      and frags.any_split)
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: each host consumes its stride of the stream and
+        # the partial link tensors are exchanged over DCN
+        from haphic_tpu.parallel.ingest import distributed_aggregate
+        links = distributed_aggregate(
+            reader, frags, flank_kbp=cfg.flank, need_coords=need_coords,
+            max_read_pairs=cfg.max_read_pairs,
+            keep_clm=not cfg.quick_view,
+            track_ctg_pair_to_frag=bool(remove_allelic)
+            and frags.any_split)
+    else:
+        links = aggregate(reader, frags, flank_kbp=cfg.flank,
+                          need_coords=need_coords,
+                          max_read_pairs=cfg.max_read_pairs,
+                          keep_clm=not cfg.quick_view,
+                          track_ctg_pair_to_frag=bool(remove_allelic)
+                          and frags.any_split)
     logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
                 'fragment pairs)', time.time() - t0, len(links.full.i),
                 len(links.flank.i))
