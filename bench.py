@@ -1,35 +1,177 @@
 #!/usr/bin/env python3
-"""Benchmark: batched MCL inflation sweep on device vs the reference's
-serial scipy/CSC CPU formulation.
+"""Benchmark suite: haphic_tpu on the device vs the reference CPU path.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "submetrics": {...}}
 
-The workload mirrors HapHiC's clustering hot loop (hot loop 2,
-SURVEY.md §3.1): a 20-inflation Markov-clustering sweep over an n x n
-fragment link matrix. The CPU baseline reproduces the reference's
-algorithm (scipy CSC SpGEMM + sklearn normalize, serial inflations,
-scripts/HapHiC_cluster.py:1987-2062) without MKL (sparse_dot_mkl is not
-installed here, as is the common case); the device path is this repo's
-jit-compiled batched sweep.
+Headline metric: wall-clock speedup of the full cluster stage (hot
+loops 1+2 of SURVEY.md §3.1 — alignment ingest + MCL inflation sweep +
+statistics) over the actual reference implementation executed in-process
+on the identical simulated input (tests/refbridge.py drives
+/root/reference/scripts/HapHiC_cluster.py run(); pairs format needs no
+pysam). Submetrics add kernel-level speedups at multiple sizes:
+
+  cluster_e2e     full cluster stage, n~2000 frags / 2M read pairs
+  mcl_dense_2048  20-inflation dense MCL sweep vs scipy CSC serial CPU
+  mcl_sparse_32k  20-inflation sparse top-K MCL sweep at n=32768 vs
+                  the reference's scipy CSC formulation
+  ga              batched device GA (16 groups) vs the native C++ GA
+                  (the allhic stand-in), generations/s
+
+CPU baselines are measured IN FULL (no extrapolation) and cached in
+bench_baselines.json with their parameters; delete the file to force
+re-measurement. Device numbers are measured fresh every run. The
+reference's MKL SpGEMM accelerator (sparse_dot_mkl) is not installed in
+this image; the scipy path is the same algorithm without MKL threading
+(scripts/HapHiC_cluster.py:2026-2062 falls back to scipy '@' exactly
+this way when sparse_dot_mkl is absent).
 """
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   '.jax_cache'))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
 
 import numpy as np
 
-N = int(os.environ.get('BENCH_N', 2048))
+CACHE_PATH = os.path.join(REPO, 'bench_baselines.json')
+
 N_INFLATIONS = 20
-MAX_ITER = int(os.environ.get('BENCH_MAX_ITER', 60))
+INFLATIONS = [round(1.1 + 0.1 * i, 2) for i in range(N_INFLATIONS)]
+MAX_ITER = 200
 PRUNING = 1e-4
+
+# ---------------------------------------------------------------------------
+# baseline cache
+# ---------------------------------------------------------------------------
+
+
+def _load_cache():
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_cache(cache):
+    with open(CACHE_PATH, 'w') as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+
+
+def cached_baseline(key, params, fn):
+    """Full (non-extrapolated) CPU baseline, measured once and cached
+    with its parameters; re-measured when params change."""
+    cache = _load_cache()
+    ent = cache.get(key)
+    if ent and ent.get('params') == params:
+        return ent['secs']
+    t0 = time.time()
+    fn()
+    secs = time.time() - t0
+    cache[key] = {'secs': round(secs, 2), 'params': params,
+                  'measured': time.strftime('%Y-%m-%d')}
+    _save_cache(cache)
+    return secs
+
+
+# ---------------------------------------------------------------------------
+# simulated genome (vectorized; big enough that ingest+MCL dominate)
+# ---------------------------------------------------------------------------
+
+SIM = dict(nchrs=8, ctgs_per_chr=250, ctg_len=20000, n_pairs=2_000_000,
+           seed=17)
+
+
+def make_sim(outdir):
+    rng = np.random.default_rng(SIM['seed'])
+    nchrs, cpc, L = SIM['nchrs'], SIM['ctgs_per_chr'], SIM['ctg_len']
+    n = nchrs * cpc
+    names = ['chr{}_ctg{}'.format(c + 1, i + 1)
+             for c in range(nchrs) for i in range(cpc)]
+    fa = os.path.join(outdir, 'asm.fa')
+    bases = np.frombuffer(b'ACGT', dtype=np.uint8)
+    with open(fa, 'wb') as f:
+        for name in names:
+            seq = bases[rng.integers(0, 4, L)].tobytes()
+            f.write(b'>' + name.encode() + b'\n')
+            for s in range(0, L, 70):
+                f.write(seq[s:s + 70] + b'\n')
+
+    # chromosome-structured pairs with adjacency preference
+    npairs = SIM['n_pairs']
+    chrom = rng.integers(0, nchrs, npairs)
+    i1 = rng.integers(0, cpc, npairs)
+    off = np.rint(rng.normal(0, 1.2, npairs)).astype(np.int64)
+    i2 = np.clip(i1 + off, 0, cpc - 1)
+    noise = rng.random(npairs) < 0.02
+    a = np.where(noise, rng.integers(0, n, npairs), chrom * cpc + i1)
+    b = np.where(noise, rng.integers(0, n, npairs), chrom * cpc + i2)
+    pa = rng.integers(1, L + 1, npairs)
+    pb = rng.integers(1, L + 1, npairs)
+    pairs = os.path.join(outdir, 'hic.pairs')
+    an = np.asarray(names)
+    cols = np.column_stack([
+        np.char.add('r', np.arange(npairs).astype(str)),
+        an[a], pa.astype(str), an[b], pb.astype(str),
+        np.full(npairs, '+'), np.full(npairs, '+')])
+    with open(pairs, 'w') as f:
+        f.write('## pairs format v1.0\n')
+        np.savetxt(f, cols, fmt='%s', delimiter='\t')
+    return fa, pairs
+
+
+CLUSTER_FLAGS = ['--Nx', '100', '--RE_site_cutoff', '0',
+                 '--density_lower', '0', '--density_upper', '1',
+                 '--rank_sum_upper', '1', '--flank', '0']
+
+
+def bench_cluster_e2e():
+    simdir = tempfile.mkdtemp(prefix='haphic_bench_sim_')
+    fa, pairs = make_sim(simdir)
+
+    def run_reference():
+        import refbridge
+        mod = refbridge.load('HapHiC_cluster')
+        refdir = tempfile.mkdtemp(prefix='haphic_bench_ref_')
+        cwd = os.getcwd()
+        argv = sys.argv
+        try:
+            os.chdir(refdir)
+            sys.argv = ['HapHiC_cluster.py', fa, pairs,
+                        str(SIM['nchrs'])] + CLUSTER_FLAGS
+            args = mod.parse_arguments()
+            mod.run(args)
+        finally:
+            os.chdir(cwd)
+            sys.argv = argv
+            shutil.rmtree(refdir, ignore_errors=True)
+
+    ref_s = cached_baseline('cluster_e2e_ref', SIM, run_reference)
+
+    from haphic_tpu.pipeline import PipelineConfig, run_pipeline
+    outdir = tempfile.mkdtemp(prefix='haphic_bench_ours_')
+    cfg = PipelineConfig(Nx=100, RE_site_cutoff=0, density_lower='0',
+                         density_upper='1', rank_sum_upper='1', flank=0,
+                         steps='1')
+    t0 = time.time()
+    run_pipeline(fa, pairs, nchrs=SIM['nchrs'], cfg=cfg, outdir=outdir)
+    ours_s = time.time() - t0
+    shutil.rmtree(outdir, ignore_errors=True)
+    shutil.rmtree(simdir, ignore_errors=True)
+    return ref_s, ours_s
+
+
+# ---------------------------------------------------------------------------
+# MCL kernels
+# ---------------------------------------------------------------------------
 
 
 def make_matrix(n, n_blocks=24, seed=0):
@@ -45,7 +187,6 @@ def make_matrix(n, n_blocks=24, seed=0):
         mask = rng.random((size, size)) < 0.25
         blk = np.triu(w * mask, 1)
         m[lo:hi, lo:hi] += blk + blk.T
-    # sparse inter-block noise
     k = n * 4
     ii = rng.integers(0, n, size=k)
     jj = rng.integers(0, n, size=k)
@@ -57,20 +198,61 @@ def make_matrix(n, n_blocks=24, seed=0):
     return m
 
 
-def cpu_reference_sweep(mat, inflations, max_iter, pruning):
-    """Serial scipy-CSC MCL sweep, the reference formulation."""
+def make_sparse_coo(n, links_per_frag=30, seed=0):
+    """Chromosome-like block COO without dense materialization."""
+    n_blocks = max(8, n // 2048)
+    rng = np.random.default_rng(seed)
+    per_block = n // n_blocks
+    ii, jj, ww = [], [], []
+    for b in range(n_blocks):
+        lo = b * per_block
+        size = per_block if b < n_blocks - 1 else n - lo
+        nnz = size * links_per_frag
+        a = rng.integers(0, size, nnz) + lo
+        c = rng.integers(0, size, nnz) + lo
+        sel = a < c
+        ii.append(a[sel])
+        jj.append(c[sel])
+        ww.append(rng.integers(1, 60, sel.sum()).astype(np.float64))
+    k = n * 2
+    a = rng.integers(0, n, k)
+    c = rng.integers(0, n, k)
+    sel = a < c
+    ii.append(a[sel])
+    jj.append(c[sel])
+    ww.append(np.ones(sel.sum()))
+    return np.concatenate(ii), np.concatenate(jj), np.concatenate(ww)
+
+
+def cpu_reference_sweep_dense_input(mat):
+    from scipy.sparse import csc_matrix
+    _cpu_sweep(csc_matrix(mat))
+
+
+def cpu_reference_sweep_coo(i, j, w, n):
+    from scipy.sparse import coo_matrix
+    m = coo_matrix((np.concatenate([w, w, np.ones(n)]),
+                    (np.concatenate([i, j, np.arange(n)]),
+                     np.concatenate([j, i, np.arange(n)]))),
+                   shape=(n, n)).tocsc().astype(np.float32)
+    _cpu_sweep(m)
+
+
+def _cpu_sweep(base_csc):
+    """The reference's serial scipy MCL sweep
+    (scripts/HapHiC_cluster.py:1987-2062 without sparse_dot_mkl)."""
     from scipy.sparse import csc_matrix, dok_matrix
     from sklearn.preprocessing import normalize
 
     def prune(matrix):
         if matrix.nnz / matrix.shape[0] ** 2 < 0.05:
             pruned = dok_matrix(matrix.shape, dtype=np.float32)
-            boolm = matrix >= pruning
+            boolm = matrix >= PRUNING
             pruned[boolm] = matrix[boolm]
             pruned = pruned.tocsc()
         else:
             pruned = matrix.toarray()
-            pruned[pruned < pruning] = 0
+            pruned[pruned < PRUNING] = 0
             pruned = csc_matrix(pruned)
         ncols = matrix.shape[1]
         cols = np.arange(ncols)
@@ -78,12 +260,12 @@ def cpu_reference_sweep(mat, inflations, max_iter, pruning):
         pruned[rows, cols] = matrix[rows, cols]
         return normalize(pruned, norm='l1', axis=0)
 
-    base = normalize(csc_matrix(mat), norm='l1', axis=0)
+    base = normalize(base_csc, norm='l1', axis=0)
     base = base @ base
-    for inflation in inflations:
+    for inflation in INFLATIONS:
         matrix = base.copy()
         last = None
-        for it in range(max_iter):
+        for it in range(MAX_ITER):
             if it != 0:
                 matrix = matrix @ matrix
             matrix = normalize(matrix.power(inflation), norm='l1', axis=0)
@@ -95,32 +277,101 @@ def cpu_reference_sweep(mat, inflations, max_iter, pruning):
             last = matrix.copy()
 
 
-def main():
+def bench_mcl_dense(n=2048):
     from haphic_tpu.cluster.mcl import run_mcl
-
-    mat = make_matrix(N)
-    inflations = [round(1.1 + 0.1 * i, 2) for i in range(N_INFLATIONS)]
-
-    # device path (includes compile on first call; time the second)
-    run_mcl(mat, inflations[:2], max_iter=4, pruning=PRUNING)  # warm compile
+    mat = make_matrix(n)
+    cpu_s = cached_baseline(
+        'mcl_dense_cpu_n{}'.format(n),
+        dict(n=n, inflations=N_INFLATIONS, max_iter=MAX_ITER),
+        lambda: cpu_reference_sweep_dense_input(mat))
+    run_mcl(mat, INFLATIONS[:2], max_iter=4)          # warm compile
     t0 = time.time()
-    res = run_mcl(mat, inflations, max_iter=MAX_ITER, pruning=PRUNING)
+    res = run_mcl(mat, INFLATIONS, max_iter=MAX_ITER)
     device_s = time.time() - t0
+    return cpu_s, device_s, int(res.n_iters.sum())
 
-    # CPU baseline on a subset, extrapolated linearly over inflations
-    n_cpu = 4
+
+def bench_mcl_sparse(n=32768, K=128):
+    from haphic_tpu.cluster.sparse_mcl import run_mcl_sparse
+    i, j, w = make_sparse_coo(n)
+    cpu_s = cached_baseline(
+        'mcl_sparse_cpu_n{}'.format(n),
+        dict(n=n, inflations=N_INFLATIONS, max_iter=MAX_ITER),
+        lambda: cpu_reference_sweep_coo(i, j, w, n))
     t0 = time.time()
-    cpu_reference_sweep(mat, inflations[:n_cpu], MAX_ITER, PRUNING)
-    cpu_s = (time.time() - t0) * (N_INFLATIONS / n_cpu)
+    res = run_mcl_sparse(i, j, w, n, INFLATIONS, K=K, max_iter=MAX_ITER)
+    device_s = time.time() - t0
+    return cpu_s, device_s, int(res.n_iters.sum())
 
-    speedup = cpu_s / device_s
-    iters_total = int(res.n_iters.sum())
+
+# ---------------------------------------------------------------------------
+# GA
+# ---------------------------------------------------------------------------
+
+
+def bench_ga(n_groups=16, k=64, ngen=500, npop=100):
+    from haphic_tpu.order import optimize as opt
+    from haphic_tpu.sim.ga_study import simulate_group
+    problems = [simulate_group(100 + g, k, pairs_per_ctg=200)[0]
+                for g in range(n_groups)]
+
+    def run_native():
+        opt.optimize_tours(problems, npop=npop, ngen=ngen, seed=1,
+                           log_every=ngen, backend='native')
+
+    native_s = cached_baseline(
+        'ga_native', dict(n_groups=n_groups, k=k, ngen=ngen, npop=npop,
+                          records=[p.n_records for p in problems]),
+        run_native)
+
+    opt.optimize_tours(problems[:1], npop=npop, ngen=2, seed=1,
+                       log_every=2, backend='device')  # warm compile
+    t0 = time.time()
+    opt.optimize_tours(problems, npop=npop, ngen=ngen, seed=1,
+                       log_every=ngen, backend='device')
+    device_s = time.time() - t0
+    gens_per_s = n_groups * ngen / device_s
+    return native_s, device_s, gens_per_s
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    sub = {}
+
+    ref_s, ours_s = bench_cluster_e2e()
+    e2e = ref_s / ours_s
+    sub['cluster_e2e'] = {
+        'x': round(e2e, 2), 'ref_cpu_s': round(ref_s, 1),
+        'device_s': round(ours_s, 1)}
+
+    cpu_s, dev_s, iters = bench_mcl_dense()
+    sub['mcl_dense_2048'] = {
+        'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
+        'device_s': round(dev_s, 1), 'iters': iters}
+
+    cpu_s, dev_s, iters = bench_mcl_sparse()
+    sub['mcl_sparse_32768'] = {
+        'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
+        'device_s': round(dev_s, 1), 'iters': iters}
+
+    nat_s, dev_s, gps = bench_ga()
+    sub['ga_16groups'] = {
+        'x': round(nat_s / dev_s, 2), 'native_cpu_s': round(nat_s, 1),
+        'device_s': round(dev_s, 1), 'gens_per_s': round(gps)}
+
     print(json.dumps({
-        'metric': 'mcl_sweep_speedup_vs_cpu_n{}'.format(N),
-        'value': round(speedup, 3),
-        'unit': 'x (cpu_s={:.1f}, device_s={:.1f}, iters={})'.format(
-            cpu_s, device_s, iters_total),
-        'vs_baseline': round(speedup, 3),
+        'metric': 'cluster_stage_speedup_vs_reference_cpu',
+        'value': round(e2e, 3),
+        'unit': 'x (ref {}s -> {}s; n~2000 frags, 2M pairs; '
+                'submetrics: dense MCL {}x, sparse MCL {}x, GA {}x)'.format(
+                    round(ref_s, 1), round(ours_s, 1),
+                    sub['mcl_dense_2048']['x'],
+                    sub['mcl_sparse_32768']['x'],
+                    sub['ga_16groups']['x']),
+        'vs_baseline': round(e2e, 3),
+        'submetrics': sub,
     }))
 
 

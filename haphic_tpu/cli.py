@@ -181,6 +181,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help='heatmap bin size (kbp)')
     pl.add_argument('--normalization', default='KR',
                     choices=['KR', 'log10', 'none'])
+    # full reference option surface (HapHiC_plot.py parse_arguments)
+    pl.add_argument('--min_len', type=float, default=0,
+                    help='minimum scaffold length to plot (Mbp)')
+    pl.add_argument('--specified_scaffolds', default=None,
+                    help='comma-separated scaffold subset')
+    pl.add_argument('--vmax_coef', type=float, default=5.0,
+                    help='vmax = coef x median nondiagonal signal')
+    pl.add_argument('--vmax', type=float, default=-1.0,
+                    help='manual vmax (overrides --vmax_coef)')
+    pl.add_argument('--cmap', default='whitered')
+    pl.add_argument('--origin', default='bottom_left',
+                    choices=['bottom_left', 'top_left'])
+    pl.add_argument('--border_style', default='grid',
+                    choices=['grid', 'outline'])
+    pl.add_argument('--separate_plots', action='store_true',
+                    help='one heatmap per scaffold')
+    pl.add_argument('--threads', type=int, default=4,
+                    help='BAM decoder threads')
+    pl.add_argument('--out_name', default='contact_map.pdf')
 
     pr = sub.add_parser('refsort', help='reference-guided scaffold ordering')
     pr.add_argument('agp')
@@ -258,6 +277,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument('ordering_files', nargs='+')
     s = pmsub.add_parser('sim_group_files')
     s.add_argument('fasta')
+    s = pmsub.add_parser('ga_study',
+                         help='GA quality study: score-vs-generation on '
+                              'simulated groups (docs/GA_VALIDATION.md)')
+    s.add_argument('--ks', default='50,200')
+    s.add_argument('--ngen', type=int, default=3000)
+    s.add_argument('--npop', type=int, default=100)
+    s.add_argument('--seed', type=int, default=42)
+    s.add_argument('--backend', default='auto',
+                   choices=['auto', 'native', 'device'])
+    s.add_argument('--out', default=None)
+
     s = pmsub.add_parser('score_statistics')
     s.add_argument('tour')
     s.add_argument('chrom')
@@ -694,7 +724,14 @@ def cmd_check(args) -> int:
 def cmd_plot(args) -> int:
     from haphic_tpu.post.plot import run_plot
     run_plot(args.agp, args.alignments, outdir=args.outdir,
-             bin_size_kbp=args.bin_size, normalization=args.normalization)
+             bin_size_kbp=args.bin_size, normalization=args.normalization,
+             min_len_mbp=args.min_len,
+             specified_scaffolds=args.specified_scaffolds,
+             vmax_coef=args.vmax_coef, manual_vmax=args.vmax,
+             cmap=args.cmap, origin=args.origin,
+             border_style=args.border_style,
+             separate_plots=args.separate_plots, threads=args.threads,
+             out_name=args.out_name)
     return 0
 
 
@@ -764,6 +801,11 @@ def cmd_sim(args) -> int:
                                             args.ordering_files)
     elif c == 'sim_group_files':
         h.sim_group_files(args.fasta)
+    elif c == 'ga_study':
+        from haphic_tpu.sim.ga_study import run_study
+        run_study(ks=[int(x) for x in args.ks.split(',')],
+                  ngen=args.ngen, npop=args.npop, seed=args.seed,
+                  backend=args.backend, out=args.out)
     elif c == 'score_statistics':
         h.score_statistics(args.tour, args.chrom, args.N50, args.program,
                            each_iteration=args.each_iteration)

@@ -292,7 +292,7 @@ def _mutate(key, order, ori, mutprob):
     rotation / segment orientation flip, chosen uniformly; applied with
     probability ``mutprob`` (else identity)."""
     P, k = order.shape
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 7)
     do = jax.random.uniform(keys[0], (P,)) < mutprob
     op = jax.random.randint(keys[1], (P,), 0, 4)
     e1 = jax.random.randint(keys[2], (P,), 0, k)
@@ -300,6 +300,16 @@ def _mutate(key, order, ori, mutprob):
     e3 = jax.random.randint(keys[4], (P,), 0, k)
     i = jnp.minimum(e1, e2)
     j = jnp.maximum(e1, e2)
+    # half the moves are local (geometric span, mean ~4): near-optimal
+    # tours need small repairs far more often than global rearrangements
+    local = jax.random.uniform(keys[5], (P,)) < 0.5
+    span = 1 + jnp.floor(
+        jnp.log(1.0 - jax.random.uniform(keys[6], (P,)))
+        / jnp.log(0.75)).astype(jnp.int32)
+    j_local = jnp.minimum(e1 + span, k - 1)
+    i = jnp.where(local, e1, i)
+    j = jnp.where(local, jnp.maximum(j_local, e1), j)
+    e3 = jnp.where(local, j, e3)
     idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (P, k))
     ii = i[:, None]
     jj = j[:, None]

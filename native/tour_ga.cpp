@@ -87,6 +87,14 @@ void mutate(std::mt19937& rng, Tour& t, int k, double mutprob) {
     int op = uop(rng);
     int e1 = uk(rng), e2 = uk(rng), e3 = uk(rng);
     int i = std::min(e1, e2), j = std::max(e1, e2);
+    if (u01(rng) < 0.5) {
+        // local move: geometric span (mean ~4) — near-optimal tours
+        // need small repairs far more often than global rearrangements
+        int span = 1 + (int)(std::log(1.0 - u01(rng)) / std::log(0.75));
+        i = e1;
+        j = std::min(e1 + span, k - 1);
+        e3 = j;
+    }
     switch (op) {
     case 0:  // swap
         std::swap(t.order[i], t.order[j]);
