@@ -44,6 +44,12 @@ def _add_cluster_args(p: argparse.ArgumentParser) -> None:
     g.add_argument('--inflation_step', type=float, default=0.1)
     g.add_argument('--max_iter', type=int, default=200)
     g.add_argument('--pruning', type=float, default=1e-4)
+    g.add_argument('--mcl_backend', default='auto',
+                   choices=['auto', 'dense', 'sparse'],
+                   help='MCL engine: dense batched, sparse top-K, or '
+                        'auto by fragment count')
+    g.add_argument('--sparse_K', type=int, default=0,
+                   help='sparse MCL top-K per column (0 = default 128)')
     g.add_argument('--whitelist', default=None)
     g.add_argument('--gfa', default=None)
     g.add_argument('--quick_view', action='store_true')

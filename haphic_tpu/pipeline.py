@@ -78,6 +78,8 @@ class PipelineConfig:
     max_iter: int = 200
     pruning: float = 1e-4
     expansion: int = 2
+    mcl_backend: str = 'auto'          # dense | sparse | auto (by size)
+    sparse_K: int = 0                  # top-K per column; 0 = default
     whitelist: Optional[str] = None
     output_statistics: bool = True
     quick_view: bool = False
@@ -296,7 +298,8 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         flank, kept_ids, frags, nchrs,
         expansion=cfg.expansion, min_inflation=cfg.min_inflation,
         max_inflation=cfg.max_inflation, inflation_step=cfg.inflation_step,
-        max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir)
+        max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir,
+        mcl_backend=cfg.mcl_backend, sparse_K=cfg.sparse_K)
     if cfg.output_statistics:
         from haphic_tpu.cluster.statistics import output_statistics
         output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)

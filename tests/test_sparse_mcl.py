@@ -85,6 +85,40 @@ def test_sparse_convergence_flags():
     assert int(res.n_iters[0]) < 120
 
 
+def test_run_clustering_sparse_backend_matches_dense():
+    """sweep.run_clustering(mcl_backend='sparse') produces the same
+    cluster sets + recommendation as the dense backend."""
+    from haphic_tpu.cluster import sweep as sweep_mod
+    from haphic_tpu.core.contacts import COO
+    from haphic_tpu.core.fragments import build_fragments
+    from haphic_tpu.io.fasta import Assembly
+
+    m = _block_matrix(n=60, n_blocks=3, seed=5)
+    n = m.shape[0]
+    names = ['c%02d' % t for t in range(n)]
+    asm = Assembly(names=names,
+                   name2id={c: t for t, c in enumerate(names)},
+                   lengths=np.full(n, 50000, np.int64),
+                   re_sites=np.ones(n, np.int64), seqs=None,
+                   input_order={c: t for t, c in enumerate(names)})
+    frags = build_fragments(asm, nchrs=3, Nx=100, bin_size_kbp=0,
+                            flank_kbp=0)
+    i, j, w = _to_coo(m)
+    flank = COO(i=i, j=j, w=w)
+    kept = np.arange(n)
+    kw = dict(max_iter=80, min_inflation=1.2, max_inflation=2.0,
+              write_files=False)
+    dense = sweep_mod.run_clustering(flank, kept, frags, 3,
+                                     mcl_backend='dense', **kw)
+    sparse = sweep_mod.run_clustering(flank, kept, frags, 3,
+                                      mcl_backend='sparse', sparse_K=n,
+                                      **kw)
+    d = {cs.inflation: cs.clusters for cs in dense.cluster_sets}
+    s = {cs.inflation: cs.clusters for cs in sparse.cluster_sets}
+    assert d == s
+    assert dense.recommended_inflation == sparse.recommended_inflation
+
+
 def test_sparse_expansion_power_3():
     m = _block_matrix(n=48, n_blocks=2, seed=4)
     i, j, w = _to_coo(m)
