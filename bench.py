@@ -199,7 +199,10 @@ def make_matrix(n, n_blocks=24, seed=0):
 
 
 def make_sparse_coo(n, links_per_frag=30, seed=0):
-    """Chromosome-like block COO without dense materialization."""
+    """Chromosome-like COO without dense materialization: fragments of
+    one chromosome link preferentially to close neighbors (geometric
+    distance decay, as Hi-C contact frequency does), plus uniform
+    inter-chromosome noise."""
     n_blocks = max(8, n // 2048)
     rng = np.random.default_rng(seed)
     per_block = n // n_blocks
@@ -208,12 +211,14 @@ def make_sparse_coo(n, links_per_frag=30, seed=0):
         lo = b * per_block
         size = per_block if b < n_blocks - 1 else n - lo
         nnz = size * links_per_frag
-        a = rng.integers(0, size, nnz) + lo
-        c = rng.integers(0, size, nnz) + lo
-        sel = a < c
-        ii.append(a[sel])
-        jj.append(c[sel])
-        ww.append(rng.integers(1, 60, sel.sum()).astype(np.float64))
+        a = rng.integers(0, size, nnz)
+        off = rng.geometric(1 / 30.0, nnz)
+        c = a + off
+        sel = c < size
+        ii.append(a[sel] + lo)
+        jj.append(c[sel] + lo)
+        ww.append((rng.integers(1, 30, sel.sum())
+                   + (60 / off[sel])).astype(np.float64))
     k = n * 2
     a = rng.integers(0, n, k)
     c = rng.integers(0, n, k)
@@ -291,7 +296,12 @@ def bench_mcl_dense(n=2048):
     return cpu_s, device_s, int(res.n_iters.sum())
 
 
-def bench_mcl_sparse(n=32768, K=128):
+def bench_mcl_sparse(n=16384, K=128):
+    """Sparse top-K sweep vs the reference scipy formulation. n=16384
+    keeps the one-time full (non-extrapolated) CPU baseline measurable
+    in ~an hour; scipy at n=32768 extrapolates to 4-5 h (measured
+    5.9 s/iteration at n=8192, dok-pruning path), which is exactly the
+    scale wall the sparse device engine removes."""
     from haphic_tpu.cluster.sparse_mcl import run_mcl_sparse
     i, j, w = make_sparse_coo(n)
     cpu_s = cached_baseline(

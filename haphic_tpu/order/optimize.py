@@ -560,7 +560,8 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                    ngen: int = 5000, mutprob: float = 0.2, seed: int = 42,
                    hot_starts: Optional[Sequence] = None,
                    log_every: int = 500, skip_ga: bool = False,
-                   chunk: int = CHUNK, backend: str = 'auto'
+                   chunk: int = CHUNK, backend: str = 'auto',
+                   mesh=None, axis_name: str = 'data'
                    ) -> List[GAResult]:
     """Evolve every group at once: groups are bucketed by padded shape
     (k_pad, R_pad) and each bucket runs as ONE vmapped jit call per
@@ -572,7 +573,12 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
     Small workloads (npop * ngen * total records < NATIVE_MAX_WORK)
     dispatch to the native C++ kernel instead: at that size a
     fresh-process XLA compile costs more than the whole evolution
-    (backend='auto'; force with 'device'/'native')."""
+    (backend='auto'; force with 'device'/'native').
+
+    With ``mesh``, each bucket's group axis is sharded across the
+    devices (groups are fully independent — zero collectives, the mesh
+    equivalent of the reference's process pool): buckets pad G to a
+    multiple of the mesh size with zero-record dummy groups."""
     results: List[Optional[GAResult]] = [None] * len(problems)
     hot_starts = list(hot_starts) if hot_starts is not None \
         else [None] * len(problems)
@@ -609,13 +615,18 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
 
     for (k_pad, Rp, c_eff), idxs in sorted(buckets.items()):
         G = len(idxs)
-        lengths = np.zeros((G, k_pad), dtype=np.int64)
-        pa = np.zeros((G, Rp), dtype=np.int32)
-        pb = np.zeros((G, Rp), dtype=np.int32)
-        d = np.zeros((G, 4, Rp), dtype=np.float32)
-        w = np.zeros((G, Rp), dtype=np.float32)
-        order = np.zeros((G, npop, k_pad), dtype=np.int32)
-        ori = np.zeros((G, npop, k_pad), dtype=np.int32)
+        Gp = G
+        if mesh is not None:
+            nd = int(mesh.devices.size)
+            Gp = -(-G // nd) * nd          # pad with dummy groups
+        lengths = np.zeros((Gp, k_pad), dtype=np.int64)
+        pa = np.zeros((Gp, Rp), dtype=np.int32)
+        pb = np.zeros((Gp, Rp), dtype=np.int32)
+        d = np.zeros((Gp, 4, Rp), dtype=np.float32)
+        w = np.zeros((Gp, Rp), dtype=np.float32)
+        order = np.zeros((Gp, npop, k_pad), dtype=np.int32)
+        ori = np.zeros((Gp, npop, k_pad), dtype=np.int32)
+        order[:] = np.arange(k_pad, dtype=np.int32)
         key = jax.random.PRNGKey(seed)
         init_keys = jax.random.split(key, G + 1)
         key = init_keys[0]
@@ -627,10 +638,18 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
             order[t], ori[t] = _initial_population(
                 p, k_pad, npop, hot_starts[gi], init_keys[t + 1])
 
-        lengths_j = jnp.asarray(lengths)
-        pa_j, pb_j = jnp.asarray(pa), jnp.asarray(pb)
-        d_j, w_j = jnp.asarray(d), jnp.asarray(w)
-        order_j, ori_j = jnp.asarray(order), jnp.asarray(ori)
+        def place(x):
+            if mesh is None:
+                return jnp.asarray(x)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P(axis_name, *([None] * (x.ndim - 1)))
+            return jax.device_put(jnp.asarray(x),
+                                  NamedSharding(mesh, spec))
+
+        lengths_j = place(lengths)
+        pa_j, pb_j = place(pa), place(pb)
+        d_j, w_j = place(d), place(w)
+        order_j, ori_j = place(order), place(ori)
         scores = _score_batched(order_j, ori_j, lengths_j, pa_j, pb_j,
                                 d_j, w_j, c_eff)
         best0 = np.asarray(jnp.max(scores, axis=1))
@@ -653,7 +672,11 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         while done < ngen:
             step = min(log_every, ngen - done)
             key, kg = jax.random.split(key)
-            gen_keys = jax.random.split(kg, G)
+            gen_keys = jax.random.split(kg, Gp)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                gen_keys = jax.device_put(
+                    gen_keys, NamedSharding(mesh, P(axis_name, None)))
             order_j, ori_j, scores = _evolve_batched(
                 gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
                 mutprob, c_eff, step)

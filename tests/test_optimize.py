@@ -179,6 +179,25 @@ def test_tour_file_format(tmp_path):
     assert all(x[-1] in '+-' for x in final)
 
 
+def test_optimize_tours_group_sharded_over_mesh():
+    """Group-axis mesh sharding (the reference process-pool equivalent)
+    recovers each group's true order; G=3 pads to the 8-device mesh."""
+    from haphic_tpu.parallel.mesh import make_mesh
+    problems, truths = [], []
+    for seed in (3, 11, 4):
+        problem, true_order, true_ori = _sim_chromosome_problem(seed, k=8)
+        problems.append(problem)
+        truths.append((true_order, true_ori))
+    mesh = make_mesh()
+    results = opt.optimize_tours(problems, npop=32, ngen=600, seed=1,
+                                 log_every=300, chunk=1024,
+                                 backend='device', mesh=mesh)
+    for res, (true_order, true_ori) in zip(results, truths):
+        got = _canonical_tour(res.order, res.ori)
+        want = _canonical_tour(true_order, true_ori[true_order])
+        assert got == want
+
+
 def test_ox_crossover_is_valid_permutation():
     import jax
     import jax.numpy as jnp
