@@ -724,6 +724,15 @@ def cmd_check(args) -> int:
     except Exception as e:
         ok = False
         print('devices check failed: {}'.format(e))
+    # native kernels (auto-built from native/ on first use)
+    from haphic_tpu.io.bam import native_lib as bam_native
+    from haphic_tpu.order.optimize import native_lib as ga_native
+    print('{:<12} {}'.format('bam_reader',
+                             'native' if bam_native() else
+                             'python fallback'))
+    print('{:<12} {}'.format('tour_ga',
+                             'native' if ga_native() else
+                             'device-only (run make -C native)'))
     return 0 if ok else 1
 
 
