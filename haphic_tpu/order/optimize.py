@@ -64,10 +64,14 @@ CHUNK = 1 << 14          # max CLM records per scan step
 MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
 
 # Work (npop * ngen * total CLM records) below which the native C++ GA
-# (native/tour_ga.cpp) beats the device path: a fresh-process XLA
-# compile on the tunnel TPU backend costs tens of seconds, while the
-# native kernel chews ~1e9 record-evaluations per second across threads.
-NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 4e10))
+# (native/tour_ga.cpp) beats the device path. Measured on the v5e
+# tunnel backend (bench.py ga_8x256): the native kernel sustains
+# ~8.5e8 record-evaluations/s on 2 host threads while the device path
+# pays per-dispatch RPC latency, so single-host workloads up to ~1e11
+# run native; the device GA earns its keep on multi-chip meshes
+# (groups shard with zero collectives, optimize_tours(mesh=...)) and
+# frees the host CPU during ingest-overlapped sorting.
+NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 1e11))
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            '..', '..', 'native')
