@@ -149,7 +149,8 @@ def _col_allclose_stat(old_idx, old_val, new_idx, new_val, n,
 def _first_iteration(idx0, val0, inflations, n: int, K: int, pruning):
     """Iteration 0: inflate + prune only, per inflation (the sweep
     pre-expands once, reference scripts/HapHiC_cluster.py:2144-2149).
-    Returns (B, n+1, K) idx/val."""
+    Returns (B, N, K) idx/val, N = idx0.shape[0] (≥ n+1; rows past n are
+    sentinel padding, e.g. to a mesh-divisible column count)."""
     infl = inflations.astype(jnp.float32)
     i0, v0 = jax.vmap(
         lambda f: jax.vmap(
@@ -160,58 +161,77 @@ def _first_iteration(idx0, val0, inflations, n: int, K: int, pruning):
     return i0, v0
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('n', 'K', 'chunk', 'expansion'))
-def _sweep_step(idx, val, inflations, active, n: int, K: int,
-                chunk: int, pruning, expansion: int):
-    """One expand→inflate→cap→prune iteration for the whole inflation
-    batch, streaming columns through a lax.scan. Returns
-    (new_idx, new_val, stat) where stat is the per-inflation allclose
-    statistic vs the input (≤1e-8 ⇒ converged). Frozen inflations
-    (active=False) pass through unchanged.
+def _sweep_cols(A_i, A_v, C_i, C_v, infl, n: int, K: int, chunk: int,
+                pruning, expansion: int, vary_axis=None):
+    """Expand→inflate→cap→prune for a block of columns C against the
+    full matrix A, streaming the columns through a lax.scan in fixed
+    chunks. A_i/A_v: (B, N, K) per-inflation matrices; C_i/C_v:
+    (B, M, K) the columns to process (the whole matrix, or one mesh
+    shard of it). Returns (new_i, new_v, stat) with stat the
+    per-inflation max allclose statistic over these columns. The math
+    is per-column, so processing a shard yields bitwise-identical
+    results to processing the same columns in the full run."""
+    B, M = C_i.shape[0], C_i.shape[1]
+    nchunks = -(-M // chunk)
+    M_pad = nchunks * chunk
+    if M_pad != M:
+        pad = ((0, 0), (0, M_pad - M), (0, 0))
+        C_i = jnp.pad(C_i, pad, constant_values=n)
+        C_v = jnp.pad(C_v, pad)
+    cb_i = C_i.reshape(B, nchunks, chunk, K).transpose(1, 0, 2, 3)
+    cb_v = C_v.reshape(B, nchunks, chunk, K).transpose(1, 0, 2, 3)
 
-    Kept as a standalone jitted step — the convergence loop runs on the
-    host — so one compile serves every inflation chunk and iteration
-    count, and sharding annotations on the column axis extend it to
-    multi-device/multi-host meshes (see run_mcl_sparse(mesh=...))."""
-    B = inflations.shape[0]
-    n1 = n + 1
-    nchunks = -(-n1 // chunk)
-    n_pad = nchunks * chunk
-    col_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n)
-    col_blocks = col_ids.reshape(nchunks, chunk)
-    infl = inflations.astype(jnp.float32)
+    def step(carry, xs):
+        c_i, c_v = xs                            # (B, chunk, K)
 
-    def step(carry, cols):
-        maxstat = carry
-
-        def per_b(A_i, A_v, f):
-            c_i = A_i[cols]                      # (chunk, K)
-            c_v = A_v[cols]
-
+        def per_b(a_i, a_v, ci, cv, f):
             def per_col(ci_row, cv_row):
-                di, dv = _expand_col(A_i, A_v, ci_row, cv_row, n)
+                di, dv = _expand_col(a_i, a_v, ci_row, cv_row, n)
                 for _ in range(expansion - 2):
                     # higher expansion powers: re-expand the deduped
                     # column (entries beyond K² fold through the cap)
                     di, dv = _inflate_cap_prune(
                         di, dv, jnp.float32(1.0), 0.0, n, K)
-                    di, dv = _expand_col(A_i, A_v, di, dv, n)
+                    di, dv = _expand_col(a_i, a_v, di, dv, n)
                 return _inflate_cap_prune(di, dv, f, pruning, n, K)
 
-            ni, nv = jax.vmap(per_col)(c_i, c_v)
+            ni, nv = jax.vmap(per_col)(ci, cv)
             stat = jax.vmap(
                 lambda oi, ov, qi, qv: _col_allclose_stat(
-                    oi, ov, qi, qv, n))(c_i, c_v, ni, nv)
+                    oi, ov, qi, qv, n))(ci, cv, ni, nv)
             return ni, nv, jnp.max(stat)
 
-        ni, nv, stat = jax.vmap(per_b)(idx, val, infl)
-        return jnp.maximum(maxstat, stat), (ni, nv)
+        ni, nv, stat = jax.vmap(per_b)(A_i, A_v, c_i, c_v, infl)
+        return jnp.maximum(carry, stat), (ni, nv)
 
     stat0 = jnp.full((B,), -jnp.inf)
-    maxstat, (ys_i, ys_v) = lax.scan(step, stat0, col_blocks)
-    new_idx = ys_i.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
-    new_val = ys_v.transpose(1, 0, 2, 3).reshape(B, n_pad, K)[:, :n1]
+    if vary_axis is not None:
+        # under shard_map the scan carry must carry the same
+        # varying-manual-axes type as the per-step stat output
+        stat0 = lax.pcast(stat0, (vary_axis,), to='varying')
+    maxstat, (ys_i, ys_v) = lax.scan(step, stat0, (cb_i, cb_v))
+    new_i = ys_i.transpose(1, 0, 2, 3).reshape(B, M_pad, K)[:, :M]
+    new_v = ys_v.transpose(1, 0, 2, 3).reshape(B, M_pad, K)[:, :M]
+    return new_i, new_v, maxstat
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n', 'K', 'chunk', 'expansion'))
+def _sweep_step(idx, val, inflations, active, n: int, K: int,
+                chunk: int, pruning, expansion: int):
+    """One MCL iteration for the whole inflation batch on one device.
+    Returns (new_idx, new_val, stat, max_nnz) where stat is the
+    per-inflation allclose statistic vs the input (≤1e-8 ⇒ converged).
+    Frozen inflations (active=False) pass through unchanged.
+
+    Kept as a standalone jitted step — the convergence loop runs on
+    the host — so one compile serves every inflation chunk and
+    iteration count. The column axis may be padded beyond n+1
+    (idx.shape[1] = N ≥ n+1): padding columns hold sentinels only and
+    compute empty results — self-neutralizing by construction."""
+    infl = inflations.astype(jnp.float32)
+    new_idx, new_val, maxstat = _sweep_cols(
+        idx, val, idx, val, infl, n, K, chunk, pruning, expansion)
     new_idx = new_idx.at[:, n].set(n)
     new_val = new_val.at[:, n].set(0.0)
     keep = active[:, None, None]
@@ -224,13 +244,58 @@ def _sweep_step(idx, val, inflations, active, n: int, K: int,
     return new_idx, new_val, maxstat, max_nnz
 
 
+_SHARDED_STEP_CACHE = {}
+
+
+def _sharded_sweep_step(mesh, axis_name: str, n: int, K: int, chunk: int,
+                        expansion: int, pruning: float):
+    """The multi-device twin of _sweep_step, built with shard_map: each
+    device holds its shard of the (B, N, K) column axis, all-gathers
+    the matrices once per iteration (O(n·K) bytes over ICI/DCN — a
+    1:K communication:compute ratio), runs the identical per-column
+    kernel on its local columns, and pmax-reduces the convergence
+    statistic. Explicit SPMD rather than GSPMD auto-partitioning: the
+    per-column math is exactly _sweep_cols, so sharded and unsharded
+    runs produce bitwise-identical iterates (tests pin this)."""
+    key = (id(mesh), axis_name, n, K, chunk, expansion, float(pruning))
+    fn = _SHARDED_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    spec = P(None, axis_name, None)
+
+    def body(idx_l, val_l, inflations, active):
+        A_i = lax.all_gather(idx_l, axis_name, axis=1, tiled=True)
+        A_v = lax.all_gather(val_l, axis_name, axis=1, tiled=True)
+        infl = inflations.astype(jnp.float32)
+        ni, nv, stat = _sweep_cols(
+            A_i, A_v, idx_l, val_l, infl, n, K, chunk, pruning,
+            expansion, vary_axis=axis_name)
+        # column n (the sentinel) computes its own empty result, so no
+        # explicit reset is needed; padding rows beyond n likewise
+        stat = lax.pmax(stat, axis_name)
+        keep = active[:, None, None]
+        ni = jnp.where(keep, ni, idx_l)
+        nv = jnp.where(keep, nv, val_l)
+        max_nnz = lax.pmax(jnp.max(jnp.sum(nv > 0, axis=-1)), axis_name)
+        return ni, nv, stat, max_nnz
+
+    fn = jax.jit(shard_map(body, mesh=mesh,
+                           in_specs=(spec, spec, P(), P()),
+                           out_specs=(spec, spec, P(), P())))
+    _SHARDED_STEP_CACHE[key] = fn
+    return fn
+
+
 def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
                      max_iter: int, pruning: float, expansion: int,
-                     sharding=None, adapt_K: bool = True):
-    """Host convergence loop for one inflation batch. ``sharding`` (a
-    NamedSharding over the column axis) turns each step into an SPMD
-    program: A is all-gathered for the column gathers, per-column work
-    and outputs stay sharded.
+                     mesh=None, axis_name: str = 'data',
+                     adapt_K: bool = True):
+    """Host convergence loop for one inflation batch. With ``mesh``
+    each step runs as an explicit shard_map SPMD program: the column
+    axis stays sharded across devices, A is all-gathered for the
+    column gathers, per-column work and outputs stay sharded.
 
     With ``adapt_K`` the working K shrinks to the next power of two
     over the actual widest column support whenever that halves —
@@ -240,6 +305,10 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
     shrinking is a pure slice)."""
     B = infl.shape[0]
     K_full = K
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, axis_name, None))
     idx, val = _first_iteration(idx0, val0, infl, n, K, float(pruning))
     if sharding is not None:
         idx = jax.device_put(idx, sharding)
@@ -249,12 +318,20 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
     t0 = time.time()
     for it in range(1, max_iter):
         cur_chunk = min(chunk, _auto_chunk(B, K, n))
-        idx, val, stat, max_nnz = _sweep_step(
-            idx, val, infl, jnp.asarray(active),
-            n, K, cur_chunk, float(pruning), expansion)
-        if sharding is not None:
-            idx = jax.device_put(idx, sharding)
-            val = jax.device_put(val, sharding)
+        if mesh is not None:
+            # the scan streams each device's LOCAL columns: don't pad a
+            # small shard up to a global-sized chunk
+            local_m = idx.shape[1] // int(mesh.shape[axis_name])
+            cur_chunk = min(cur_chunk, max(8, local_m))
+            step_fn = _sharded_sweep_step(mesh, axis_name, n, K,
+                                          cur_chunk, expansion,
+                                          float(pruning))
+            idx, val, stat, max_nnz = step_fn(
+                idx, val, infl, jnp.asarray(active))
+        else:
+            idx, val, stat, max_nnz = _sweep_step(
+                idx, val, infl, jnp.asarray(active),
+                n, K, cur_chunk, float(pruning), expansion)
         stat_h = np.asarray(stat)
         if it >= 2:
             newly = active & (stat_h <= 1e-8)
@@ -288,10 +365,12 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
 
 
 @functools.partial(jax.jit, static_argnames=('n', 'K', 'chunk'))
-def _pre_expand(idx0, val0, n: int, K: int, chunk: int):
-    """One exact-normalization expansion of the base matrix (inflation 1,
-    no threshold — only the top-K cap applies)."""
-    n1 = n + 1
+def _pre_expand(base_i, base_v, cur_i, cur_v, n: int, K: int, chunk: int):
+    """One exact-normalization left-multiply by the base matrix:
+    C ← A @ C capped at top-K (inflation 1, no threshold). Iterating
+    this from C = A yields A^e for any expansion e — squaring the
+    iterate would instead give A^(2^(e-1))."""
+    n1 = cur_i.shape[0]
     nchunks = -(-n1 // chunk)
     n_pad = nchunks * chunk
     col_ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n)
@@ -299,9 +378,9 @@ def _pre_expand(idx0, val0, n: int, K: int, chunk: int):
 
     def step(_, cols):
         def per_col(ci_row, cv_row):
-            di, dv = _expand_col(idx0, val0, ci_row, cv_row, n)
+            di, dv = _expand_col(base_i, base_v, ci_row, cv_row, n)
             return _inflate_cap_prune(di, dv, jnp.float32(1.0), 0.0, n, K)
-        ni, nv = jax.vmap(per_col)(idx0[cols], val0[cols])
+        ni, nv = jax.vmap(per_col)(cur_i[cols], cur_v[cols])
         return _, (ni, nv)
 
     _, (ys_i, ys_v) = lax.scan(step, 0, col_blocks)
@@ -449,11 +528,14 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     K ≥ max column support of every iterate the result is exact; smaller
     K approximates (validated against the dense path in tests).
 
-    With ``mesh``, every (B, n+1, K) iterate is sharded over the mesh on
-    the *column* axis: the per-column expand/dedupe/prune work divides
-    across devices while the gathers of referenced columns all-gather A
-    over ICI/DCN — O(n·K) bytes per device per iteration, so the
-    communication:compute ratio is 1:K.
+    With ``mesh``, every (B, N, K) iterate is sharded over the mesh on
+    the *column* axis (N = n+1 padded up to a mesh-divisible count with
+    self-neutralizing sentinel rows) and each iteration runs as an
+    explicit shard_map program: the per-column expand/dedupe/prune work
+    divides across devices while the gathers of referenced columns
+    all-gather A over ICI/DCN — O(n·K) bytes per device per iteration,
+    a 1:K communication:compute ratio. Sharded iterates are bitwise
+    equal to the meshless run (pinned by tests).
     """
     if K > n:
         K = max(1, n)
@@ -472,15 +554,24 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
         inflation_batch = max(1, min(B, 4, int((6 << 30) // max(per, 1))))
     chunk = chunk or _auto_chunk(min(B, inflation_batch), K, n)
 
-    sharding = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sharding = NamedSharding(mesh, P(None, axis_name, None))
+        # the sharded column axis must divide by the mesh extent: pad
+        # with sentinel rows (idx=n, val=0), which every kernel treats
+        # as empty columns — self-neutralizing end to end
+        n_dev = int(mesh.shape[axis_name])
+        pad_rows = (-(n + 1)) % n_dev
+        if pad_rows:
+            idx0 = np.concatenate(
+                [idx0, np.full((pad_rows, K), n, np.int32)])
+            val0 = np.concatenate(
+                [val0, np.zeros((pad_rows, K), np.float32)])
 
     idx0_j = jnp.asarray(idx0)
     val0_j = jnp.asarray(val0)
+    base_i, base_v = idx0_j, val0_j
     for _ in range(expansion - 1):
-        idx0_j, val0_j = _pre_expand(idx0_j, val0_j, n, K, chunk)
+        idx0_j, val0_j = _pre_expand(base_i, base_v, idx0_j, val0_j,
+                                     n, K, chunk)
 
     out_idx = np.empty((B, n + 1, K), dtype=np.int32)
     out_val = np.empty((B, n + 1, K), dtype=np.float32)
@@ -495,9 +586,9 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
             if bpad else infl[s:e]
         ii, vv, it, cc = _run_sweep_batch(
             idx0_j, val0_j, jnp.asarray(infl_c), n, K, chunk,
-            max_iter, pruning, expansion, sharding=sharding)
-        out_idx[s:e] = ii[:e - s]
-        out_val[s:e] = vv[:e - s]
+            max_iter, pruning, expansion, mesh=mesh, axis_name=axis_name)
+        out_idx[s:e] = ii[:e - s, :n + 1]
+        out_val[s:e] = vv[:e - s, :n + 1]
         iters[s:e] = it[:e - s]
         conv[s:e] = cc[:e - s]
     return SparseMCLResult(idx=out_idx, val=out_val, n=n, n_iters=iters,

@@ -32,6 +32,26 @@ import os
 _configured = False
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature set. XLA:CPU's persistent
+    cache key does NOT include machine features, so an AOT executable
+    compiled on one host loads on another with a features-mismatch
+    warning and *different rounding* (observed: MCL convergence
+    iteration counts shifted by a stale cross-machine cache). Scoping
+    the cache directory per machine avoids that silently."""
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.sha256(
+                        line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def default_cache_dir() -> str:
     base = os.environ.get('XDG_CACHE_HOME') or os.path.join(
         os.path.expanduser('~'), '.cache')
@@ -74,7 +94,8 @@ def setup_jax(cache_dir: str | None = None) -> None:
     explicit = cache_dir or os.environ.get('HAPHIC_JAX_CACHE_DIR')
     if not explicit and _first_platform(jax) != 'cpu':
         return
-    path = explicit or default_cache_dir()
+    # per-machine subdirectory — see _machine_tag for why
+    path = os.path.join(explicit or default_cache_dir(), _machine_tag())
     try:
         os.makedirs(path, exist_ok=True)
         # Don't clobber a value somebody already set programmatically.

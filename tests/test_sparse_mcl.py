@@ -119,6 +119,68 @@ def test_run_clustering_sparse_backend_matches_dense():
     assert dense.recommended_inflation == sparse.recommended_inflation
 
 
+def _ell_to_dense(idx, val, n):
+    out = np.zeros((n, n), dtype=np.float64)
+    for c in range(n):
+        sel = idx[c] < n
+        out[idx[c][sel], c] = val[c][sel]
+    return out
+
+
+def test_pre_expand_matrix_power():
+    """_pre_expand iterated e-1 times from the base must equal the
+    column-normalized A^e (K = n, so no cap). Guards against the
+    squaring bug where e pre-expansions produced A^(2^(e-1))."""
+    import jax.numpy as jnp
+    m = _block_matrix(n=24, n_blocks=2, seed=7)
+    n = m.shape[0]
+    i, j, w = _to_coo(m)
+    idx, val = sp.coo_to_ell(i, j, w, n, K=n)
+    base = _ell_to_dense(idx, val, n)
+    cur_i, cur_v = jnp.asarray(idx), jnp.asarray(val)
+    expected = base.copy()
+    for e in range(2, 5):
+        cur_i, cur_v = sp._pre_expand(jnp.asarray(idx), jnp.asarray(val),
+                                      cur_i, cur_v, n, n, 8)
+        expected = base @ expected
+        got = _ell_to_dense(np.asarray(cur_i), np.asarray(cur_v), n)
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=1e-6), e
+
+
+@pytest.mark.parametrize('n', [33, 49, 96])
+def test_sparse_mesh_matches_meshless(n):
+    """run_mcl_sparse(mesh=...) must work for ANY fragment count — the
+    column axis is padded to the mesh extent with sentinel rows — and
+    reproduce the meshless partitions (MULTICHIP_r02 regression: every
+    n with (n+1) % 8 != 0 used to raise in device_put).
+
+    The matrix is noise-free blocks: the sharded executable lowers
+    differently than the unsharded one (ulp-level rounding), and MCL's
+    winner-take-all dynamics can amplify 1-ulp differences into
+    different attractors on near-critical inputs — on well-separated
+    blocks the partition is stable and must match exactly."""
+    import jax
+    from haphic_tpu.parallel.mesh import make_mesh
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    mesh = make_mesh(8)
+    m = _block_matrix(n=n, n_blocks=3, seed=11, noise=0)
+    i, j, w = _to_coo(m)
+    inflations = [1.3, 2.0]
+    plain = sp.run_mcl_sparse(i, j, w, n, inflations, K=32, max_iter=60)
+    meshed = sp.run_mcl_sparse(i, j, w, n, inflations, K=32, max_iter=60,
+                               mesh=mesh)
+    assert meshed.idx.shape == plain.idx.shape == (2, n + 1, 32)
+    for b in range(len(inflations)):
+        part = plain.interpret(b)
+        assert part is not None
+        assert meshed.interpret(b) == part
+        np.testing.assert_allclose(
+            _ell_to_dense(plain.idx[b], plain.val[b], n),
+            _ell_to_dense(meshed.idx[b], meshed.val[b], n),
+            rtol=1e-3, atol=1e-5)
+
+
 def test_sparse_expansion_power_3():
     m = _block_matrix(n=48, n_blocks=2, seed=4)
     i, j, w = _to_coo(m)
