@@ -355,6 +355,11 @@ class LinkAccumulator:
             self._cap_coords()
         if self.keep_clm:
             self._spill_clm()
+        if self.track_ctg_pair_to_frag and len(self._pair_frag) > 1:
+            # (ctgkey, fragkey) rows are already per-chunk unique;
+            # collapse across chunks so the accumulator stays bounded
+            self._pair_frag = [np.unique(
+                np.concatenate(self._pair_frag, axis=0), axis=0)]
         self._raw_bytes = 0
 
     def _read_clm_spill(self):

@@ -19,33 +19,22 @@ import ctypes
 import gzip
 import os
 import struct
-import subprocess
 from typing import Iterator, List, Optional
 
 import numpy as np
 
 from haphic_tpu.io.pairs import AlignChunk
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           '..', '..', 'native')
 FLAG_PAIRED = 0x1
 FLAG_UNMAPPED = 0x4
 FLAG_READ1 = 0x40
 
 
 def _load_native():
-    so = os.path.join(_NATIVE_DIR, 'libbamreader.so')
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, 'bam_reader.cpp')
-        if os.path.exists(src):
-            try:
-                subprocess.run(['make', '-C', _NATIVE_DIR],
-                               check=True, capture_output=True)
-            except Exception:
-                return None
-    if not os.path.exists(so):
+    from haphic_tpu.utils.nativelib import load_shared
+    lib = load_shared('libbamreader.so', ['bam_reader.cpp'])
+    if lib is None:
         return None
-    lib = ctypes.CDLL(so)
     lib.bam_open.restype = ctypes.c_void_p
     lib.bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.bam_nrefs.restype = ctypes.c_int

@@ -48,7 +48,7 @@ import ctypes
 import functools
 import logging
 import os
-import subprocess
+
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -73,25 +73,15 @@ MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
 # frees the host CPU during ingest-overlapped sorting.
 NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 1e11))
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           '..', '..', 'native')
 _native = None
 _native_checked = False
 
 
 def _load_native():
-    so = os.path.join(_NATIVE_DIR, 'libtourga.so')
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, 'tour_ga.cpp')
-        if os.path.exists(src):
-            try:
-                subprocess.run(['make', '-C', _NATIVE_DIR, 'libtourga.so'],
-                               check=True, capture_output=True)
-            except Exception:
-                return None
-    if not os.path.exists(so):
+    from haphic_tpu.utils.nativelib import load_shared
+    lib = load_shared('libtourga.so', ['tour_ga.cpp'])
+    if lib is None:
         return None
-    lib = ctypes.CDLL(so)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.tour_ga_run.restype = ctypes.c_int
     lib.tour_ga_run.argtypes = [

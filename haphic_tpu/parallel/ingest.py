@@ -190,55 +190,88 @@ def _allgather_ragged(arrays: List[np.ndarray]) -> List[List[np.ndarray]]:
     return out
 
 
-def exchange_link_data(local: LinkData,
-                       max_read_pairs: int = 200) -> LinkData:
-    """Allgather every shard's partial LinkData over DCN and merge.
-    Each host ends up with the identical, complete link tensors."""
-    import jax
-    nproc = jax.process_count()
-    if nproc == 1:
-        return local
-
+def _pack_link_data(local: LinkData) -> List[np.ndarray]:
+    """Flatten one shard's LinkData into the array list that rides the
+    DCN allgather. Inverse: _unpack_link_data."""
     def coo_arrays(c: COO):
         return [c.i.astype(np.int64), c.j.astype(np.int64),
                 c.w.astype(np.float64)]
 
     arrays = (coo_arrays(local.full) + coo_arrays(local.flank)
               + coo_arrays(local.ht) + [local.frag_links])
-    has_clm = local.clm is not None
-    if has_clm:
+    if local.clm is not None:
         arrays += [local.clm.pair_i, local.clm.pair_j, local.clm.d,
                    local.clm.u_keys, local.clm.u_first_seen]
-    gathered = _allgather_ragged(arrays)
+    if local.coords is not None:
+        c = local.coords
+        # okey (global stream-order key) is required to re-apply the
+        # per-pair cap in true file order after the merge; sharded
+        # ingest always records it (aggregate_shard passes seq)
+        assert c.okey is not None, \
+            'coords exchange requires stream-order keys (okey)'
+        arrays += [c.pair_i.astype(np.int64), c.pair_j.astype(np.int64),
+                   c.ci.astype(np.int64), c.cj.astype(np.int64),
+                   c.okey.astype(np.int64),
+                   c.total_counts_i.astype(np.int64),
+                   c.total_counts.astype(np.int64)]
+    if local.ctg_pair_to_frag is not None:
+        arrays += [local.ctg_pair_to_frag.i.astype(np.int64),
+                   local.ctg_pair_to_frag.j.astype(np.int64)]
+    return arrays
 
-    parts: List[LinkData] = []
-    for p in range(nproc):
-        t = 0
 
-        def take():
-            nonlocal t
-            v = gathered[t][p]
-            t += 1
-            return v
+def _unpack_link_data(gathered: List[List[np.ndarray]], p: int,
+                      local: LinkData) -> LinkData:
+    """Rebuild process p's LinkData from the gathered array lists."""
+    t = 0
 
-        full = COO(take(), take(), take())
-        flank = COO(take(), take(), take())
-        ht = COO(take(), take(), take())
-        fl = take()
-        clm = None
-        if has_clm:
-            clm = CLMData(pair_i=take(), pair_j=take(), d=take(),
-                          u_keys=take(), u_first_seen=take())
-        parts.append(LinkData(n_ctg=local.n_ctg, n_frag=local.n_frag,
-                              full=full, flank=flank, frag_links=fl,
-                              ht=ht, clm=clm, coords=local.coords,
-                              ctg_pair_to_frag=local.ctg_pair_to_frag))
-    # coords / ctg_pair_to_frag ride along only from the local shard in
-    # this exchange (they feed host-side statistical pruning); pass
-    # them through merge from every shard when needed by aggregating
-    # with need_coords on a single host instead.
-    merged = merge_link_data(parts, max_read_pairs=max_read_pairs)
-    return merged
+    def take():
+        nonlocal t
+        v = gathered[t][p]
+        t += 1
+        return v
+
+    full = COO(take(), take(), take())
+    flank = COO(take(), take(), take())
+    ht = COO(take(), take(), take())
+    fl = take()
+    clm = None
+    if local.clm is not None:
+        clm = CLMData(pair_i=take(), pair_j=take(), d=take(),
+                      u_keys=take(), u_first_seen=take())
+    coords = None
+    if local.coords is not None:
+        pi, pj, ci, cj, okey, tci, tc = (take(), take(), take(), take(),
+                                         take(), take(), take())
+        coords = CoordPairs(pair_i=pi, pair_j=pj, ci=ci, cj=cj,
+                            total_counts_i=tci, total_counts=tc,
+                            starts=None, counts=None,
+                            upair_i=None, upair_j=None, okey=okey)
+    p2f = None
+    if local.ctg_pair_to_frag is not None:
+        i, j = take(), take()
+        p2f = COO(i=i, j=j, w=np.ones(len(i)))
+    return LinkData(n_ctg=local.n_ctg, n_frag=local.n_frag,
+                    full=full, flank=flank, frag_links=fl,
+                    ht=ht, clm=clm, coords=coords,
+                    ctg_pair_to_frag=p2f)
+
+
+def exchange_link_data(local: LinkData,
+                       max_read_pairs: int = 200) -> LinkData:
+    """Allgather every shard's partial LinkData over DCN and merge.
+    Each host ends up with the identical, complete link tensors —
+    including coord pairs (allelic/concentrated pruning evidence,
+    reference record_coord_pairs scripts/HapHiC_cluster.py:454-471)
+    and the ctg-pair→frag-pair map, which previously rode along from
+    the local shard only."""
+    import jax
+    nproc = jax.process_count()
+    if nproc == 1:
+        return local
+    gathered = _allgather_ragged(_pack_link_data(local))
+    parts = [_unpack_link_data(gathered, p, local) for p in range(nproc)]
+    return merge_link_data(parts, max_read_pairs=max_read_pairs)
 
 
 def distributed_aggregate(chunks: Iterable[AlignChunk], frags: Fragments,

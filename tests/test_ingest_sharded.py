@@ -74,6 +74,45 @@ def test_shard_merge_equals_single_host(sim, n_shards):
     assert np.array_equal(single.coords.cj, merged.coords.cj)
 
 
+def test_exchange_pack_roundtrip_includes_coords(sim):
+    """The DCN exchange must ship EVERY shard's coords and
+    ctg-pair→frag map (not duplicate the local shard's): pack each
+    shard, simulate the allgather, unpack, merge — the result must
+    equal merging the original parts directly, and match the
+    single-host aggregate (ADVICE r2: coords were previously
+    duplicated nproc times and other shards' records dropped)."""
+    from haphic_tpu.parallel.ingest import (_pack_link_data,
+                                            _unpack_link_data)
+    asm, frags, chunks = sim
+    n_shards = 3
+    parts = [aggregate_shard(chunks(), frags, n_shards, h,
+                             need_coords=True, max_read_pairs=5,
+                             track_ctg_pair_to_frag=True)
+             for h in range(n_shards)]
+    packed = [_pack_link_data(p) for p in parts]
+    assert len({len(a) for a in packed}) == 1
+    # simulated allgather: gathered[t][p] = process p's t-th array
+    gathered = [[packed[p][t] for p in range(n_shards)]
+                for t in range(len(packed[0]))]
+    rebuilt = [_unpack_link_data(gathered, p, parts[0])
+               for p in range(n_shards)]
+    via_exchange = merge_link_data(rebuilt, max_read_pairs=5)
+    direct = merge_link_data(parts, max_read_pairs=5)
+    single = aggregate(chunks(), frags, need_coords=True, keep_clm=True,
+                       max_read_pairs=5, track_ctg_pair_to_frag=True)
+    for merged in (via_exchange, direct):
+        assert np.array_equal(single.coords.total_counts,
+                              merged.coords.total_counts)
+        assert np.array_equal(single.coords.ci, merged.coords.ci)
+        assert np.array_equal(single.coords.cj, merged.coords.cj)
+        assert np.array_equal(single.coords.pair_i, merged.coords.pair_i)
+        assert np.array_equal(single.ctg_pair_to_frag.i,
+                              merged.ctg_pair_to_frag.i)
+        assert np.array_equal(single.ctg_pair_to_frag.j,
+                              merged.ctg_pair_to_frag.j)
+        assert np.array_equal(single.full.w, merged.full.w)
+
+
 def test_compaction_parity(sim, tmp_path):
     """Bounded-memory mode (compact_bytes=1 forces a compaction after
     every chunk: count-run collapse + coord cap + CLM spill) must be
