@@ -50,6 +50,14 @@ def _add_cluster_args(p: argparse.ArgumentParser) -> None:
                         'auto by fragment count')
     g.add_argument('--sparse_K', type=int, default=0,
                    help='sparse MCL top-K per column (0 = default 128)')
+    g.add_argument('--use_mesh', default='auto',
+                   choices=['auto', 'on', 'off'],
+                   help='shard the MCL sweep + sort GA over the device '
+                        'mesh (auto: on for >1 device on non-CPU '
+                        'backends or multi-process runs)')
+    g.add_argument('--ga_backend', default='auto',
+                   choices=['auto', 'device', 'native'],
+                   help='sort-stage GA engine (auto picks by work size)')
     g.add_argument('--whitelist', default=None)
     g.add_argument('--gfa', default=None)
     g.add_argument('--quick_view', action='store_true')

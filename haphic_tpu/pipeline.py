@@ -80,6 +80,14 @@ class PipelineConfig:
     expansion: int = 2
     mcl_backend: str = 'auto'          # dense | sparse | auto (by size)
     sparse_K: int = 0                  # top-K per column; 0 = default
+    # device-mesh sharding of the MCL sweep + sort GA. 'auto' shards
+    # whenever >1 device is visible on a non-CPU backend (a TPU slice)
+    # or the run spans multiple processes; 'on' forces it (e.g. a
+    # virtual CPU mesh), 'off' disables. `mesh` overrides with an
+    # explicit jax.sharding.Mesh.
+    use_mesh: str = 'auto'             # auto | on | off
+    mesh: Optional[object] = None
+    ga_backend: str = 'auto'           # auto | device | native
     whitelist: Optional[str] = None
     output_statistics: bool = True
     quick_view: bool = False
@@ -112,6 +120,26 @@ class PipelineConfig:
     # misc
     processes: int = 8
     steps: str = '1234'
+
+
+def _resolve_mesh(cfg: 'PipelineConfig'):
+    """The device mesh the hot stages shard over, or None. Explicit
+    cfg.mesh wins; 'auto' activates on real multi-chip backends and
+    multi-process runs but NOT on the virtual CPU test mesh (force
+    with use_mesh='on' there). Resolved once and cached on cfg so the
+    cluster and sort stages share one mesh."""
+    if cfg.mesh is not None or cfg.use_mesh == 'off':
+        return cfg.mesh
+    import jax
+    nd = jax.device_count()
+    if nd > 1 and (cfg.use_mesh == 'on'
+                   or jax.default_backend() != 'cpu'
+                   or jax.process_count() > 1):
+        from haphic_tpu.parallel.mesh import make_mesh
+        cfg.mesh = make_mesh()
+        logger.info('Sharding hot stages over a %d-device mesh', nd)
+        return cfg.mesh
+    return None
 
 
 @dataclass
@@ -299,7 +327,8 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         expansion=cfg.expansion, min_inflation=cfg.min_inflation,
         max_inflation=cfg.max_inflation, inflation_step=cfg.inflation_step,
         max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir,
-        mcl_backend=cfg.mcl_backend, sparse_K=cfg.sparse_K)
+        mcl_backend=cfg.mcl_backend, sparse_K=cfg.sparse_K,
+        mesh=_resolve_mesh(cfg))
     if cfg.output_statistics:
         from haphic_tpu.cluster.statistics import output_statistics
         output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
@@ -468,7 +497,8 @@ def sort_stage(cres: ClusterStageResult, groups: 'ReassignResult',
         results = opt.optimize_tours(
             problems, npop=cfg.npop, ngen=cfg.ngen, mutprob=cfg.mutprob,
             seed=cfg.seed, hot_starts=[hots[i] for i in ga_idx],
-            skip_ga=cfg.skipGA)
+            skip_ga=cfg.skipGA, backend=cfg.ga_backend,
+            mesh=_resolve_mesh(cfg))
         ga_results = dict(zip(ga_idx, results))
         logger.info('optimized %d groups (batched GA) in %.1fs',
                     len(ga_idx), time.time() - t0)
