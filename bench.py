@@ -1,23 +1,37 @@
 #!/usr/bin/env python3
 """Benchmark suite: haphic_tpu on the device vs the reference CPU path.
 
-Prints ONE JSON line:
+Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "submetrics": {...}}
 
+Budget-aware (round-2 lesson: the driver killed a 10+-minute bench and
+captured nothing): submetrics run cheapest-first under a wall-clock
+budget (HAPHIC_BENCH_BUDGET seconds, default 420); each submetric is
+skipped when the remaining budget can't cover its estimated cost (the
+estimate is the last measured run, cached in bench_baselines.json),
+and a SIGALRM fires shortly before the budget so the headline line is
+printed from whatever completed.
+
 Headline metric: wall-clock speedup of the full cluster stage (hot
 loops 1+2 of SURVEY.md §3.1 — alignment ingest + MCL inflation sweep +
-statistics) over the actual reference implementation executed in-process
-on the identical simulated input (tests/refbridge.py drives
+statistics) over the actual reference implementation executed
+in-process on the identical simulated input (tests/refbridge.py drives
 /root/reference/scripts/HapHiC_cluster.py run(); pairs format needs no
-pysam). Submetrics add kernel-level speedups at multiple sizes:
+pysam). Submetrics add kernel-level speedups:
 
-  cluster_e2e     full cluster stage, n~2000 frags / 2M read pairs
-  mcl_dense_2048  20-inflation dense MCL sweep vs scipy CSC serial CPU
-  mcl_sparse_32k  20-inflation sparse top-K MCL sweep at n=32768 vs
-                  the reference's scipy CSC formulation
-  ga              batched device GA (16 groups) vs the native C++ GA
-                  (the allhic stand-in), generations/s
+  cluster_e2e      full cluster stage, n~2000 frags / 2M read pairs,
+                   with a per-phase breakdown (parse/ingest/filters/
+                   mcl/statistics)
+  mcl_dense_2048   20-inflation dense MCL sweep vs scipy CSC serial CPU
+  mcl_sparse_16k_i4  4-inflation sparse top-K MCL sweep at n=16384 vs
+                   the reference's scipy CSC formulation on the SAME
+                   4 inflations (the full-20 sweep exceeds the bench
+                   budget; scaling is linear in inflation batches)
+  ga_8x256         batched device GA (8 groups x 256 contigs) vs the
+                   native C++ GA (the allhic stand-in)
+  tpu_integration  HAPHIC_TEST_TPU=1 pytest of the on-device quick
+                   start (continuously verifies the README claim)
 
 CPU baselines are measured IN FULL (no extrapolation) and cached in
 bench_baselines.json with their parameters; delete the file to force
@@ -30,6 +44,7 @@ this way when sparse_dot_mkl is absent).
 
 import json
 import os
+import signal
 import shutil
 import subprocess
 import sys
@@ -46,8 +61,23 @@ CACHE_PATH = os.path.join(REPO, 'bench_baselines.json')
 
 N_INFLATIONS = 20
 INFLATIONS = [round(1.1 + 0.1 * i, 2) for i in range(N_INFLATIONS)]
+# the sparse submetric's reduced sweep (one device inflation batch);
+# spread over the range so iteration counts are representative
+SPARSE_INFLATIONS = [1.2, 1.7, 2.2, 2.7]
 MAX_ITER = 200
 PRUNING = 1e-4
+
+BUDGET = float(os.environ.get('HAPHIC_BENCH_BUDGET', 420))
+T0 = time.time()
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T0)
+
+
+class BenchTimeout(Exception):
+    pass
+
 
 # ---------------------------------------------------------------------------
 # baseline cache
@@ -76,10 +106,22 @@ def cached_baseline(key, params, fn):
     t0 = time.time()
     fn()
     secs = time.time() - t0
+    cache = _load_cache()
     cache[key] = {'secs': round(secs, 2), 'params': params,
                   'measured': time.strftime('%Y-%m-%d')}
     _save_cache(cache)
     return secs
+
+
+def record_estimate(name, secs):
+    cache = _load_cache()
+    cache['est_' + name] = {'secs': round(secs, 1)}
+    _save_cache(cache)
+
+
+def estimate(name, default):
+    ent = _load_cache().get('est_' + name)
+    return float(ent['secs']) if ent else float(default)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +208,7 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
     ent = _load_cache().get(cache_key)
     if not measure_baseline and not (ent and ent.get('params') == sim):
         shutil.rmtree(simdir, ignore_errors=True)
-        return None, None
+        return None, None, None
     ref_s = cached_baseline(cache_key, sim, run_reference)
 
     from haphic_tpu.pipeline import PipelineConfig, run_pipeline
@@ -175,11 +217,14 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
                          density_upper='1', rank_sum_upper='1', flank=0,
                          steps='1')
     t0 = time.time()
-    run_pipeline(fa, pairs, nchrs=sim['nchrs'], cfg=cfg, outdir=outdir)
+    res = run_pipeline(fa, pairs, nchrs=sim['nchrs'], cfg=cfg,
+                       outdir=outdir)
     ours_s = time.time() - t0
+    phases = {k: round(v, 1)
+              for k, v in res.cluster.timings.items()}
     shutil.rmtree(outdir, ignore_errors=True)
     shutil.rmtree(simdir, ignore_errors=True)
-    return ref_s, ours_s
+    return ref_s, ours_s, phases
 
 
 # ---------------------------------------------------------------------------
@@ -242,21 +287,21 @@ def make_sparse_coo(n, links_per_frag=30, seed=0):
     return np.concatenate(ii), np.concatenate(jj), np.concatenate(ww)
 
 
-def cpu_reference_sweep_dense_input(mat):
+def cpu_reference_sweep_dense_input(mat, inflations=INFLATIONS):
     from scipy.sparse import csc_matrix
-    _cpu_sweep(csc_matrix(mat))
+    _cpu_sweep(csc_matrix(mat), inflations)
 
 
-def cpu_reference_sweep_coo(i, j, w, n):
+def cpu_reference_sweep_coo(i, j, w, n, inflations=INFLATIONS):
     from scipy.sparse import coo_matrix
     m = coo_matrix((np.concatenate([w, w, np.ones(n)]),
                     (np.concatenate([i, j, np.arange(n)]),
                      np.concatenate([j, i, np.arange(n)]))),
                    shape=(n, n)).tocsc().astype(np.float32)
-    _cpu_sweep(m)
+    _cpu_sweep(m, inflations)
 
 
-def _cpu_sweep(base_csc):
+def _cpu_sweep(base_csc, inflations):
     """The reference's serial scipy MCL sweep
     (scripts/HapHiC_cluster.py:1987-2062 without sparse_dot_mkl)."""
     from scipy.sparse import csc_matrix, dok_matrix
@@ -280,7 +325,7 @@ def _cpu_sweep(base_csc):
 
     base = normalize(base_csc, norm='l1', axis=0)
     base = base @ base
-    for inflation in INFLATIONS:
+    for inflation in inflations:
         matrix = base.copy()
         last = None
         for it in range(MAX_ITER):
@@ -310,19 +355,20 @@ def bench_mcl_dense(n=2048):
 
 
 def bench_mcl_sparse(n=16384, K=128):
-    """Sparse top-K sweep vs the reference scipy formulation. n=16384
-    keeps the one-time full (non-extrapolated) CPU baseline measurable
-    in ~an hour; scipy at n=32768 extrapolates to 4-5 h (measured
-    5.9 s/iteration at n=8192, dok-pruning path), which is exactly the
-    scale wall the sparse device engine removes."""
+    """Sparse top-K sweep vs the reference scipy formulation, on the
+    reduced SPARSE_INFLATIONS list (one device inflation batch): the
+    full 20-inflation sweep is ~5x this cost on both sides (five
+    sequential inflation batches on device, 20 serial inflations on
+    CPU) and does not fit the bench budget."""
     from haphic_tpu.cluster.sparse_mcl import run_mcl_sparse
     i, j, w = make_sparse_coo(n)
     cpu_s = cached_baseline(
-        'mcl_sparse_cpu_n{}'.format(n),
-        dict(n=n, inflations=N_INFLATIONS, max_iter=MAX_ITER),
-        lambda: cpu_reference_sweep_coo(i, j, w, n))
+        'mcl_sparse_cpu_n{}_i{}'.format(n, len(SPARSE_INFLATIONS)),
+        dict(n=n, inflations=SPARSE_INFLATIONS, max_iter=MAX_ITER),
+        lambda: cpu_reference_sweep_coo(i, j, w, n, SPARSE_INFLATIONS))
     t0 = time.time()
-    res = run_mcl_sparse(i, j, w, n, INFLATIONS, K=K, max_iter=MAX_ITER)
+    res = run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K,
+                         max_iter=MAX_ITER)
     device_s = time.time() - t0
     return cpu_s, device_s, int(res.n_iters.sum())
 
@@ -331,11 +377,13 @@ def bench_mcl_sparse(n=16384, K=128):
 # GA
 # ---------------------------------------------------------------------------
 
+GA_GROUPS, GA_K = 8, 256
 
-def bench_ga(n_groups=8, k=256, ngen=300, npop=100):
+
+def bench_ga(n_groups=GA_GROUPS, k=GA_K, ngen=300, npop=100):
     """Large-group regime (the auto dispatch's device territory: 256
-    contigs/group, ~50k CLM records) — device batched GA vs the native
-    C++ kernel. Small workloads go the other way by design (the
+    contigs/group, ~16k CLM records each) — device batched GA vs the
+    native C++ kernel. Small workloads go the other way by design (the
     dispatch sends them native; see optimize_tours). log_every keeps
     each device dispatch under the tunnel worker's patience (one
     500-generation dispatch was observed to crash the remote worker)."""
@@ -366,18 +414,36 @@ def bench_ga(n_groups=8, k=256, ngen=300, npop=100):
 
 
 # ---------------------------------------------------------------------------
+# on-device integration test (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+
+def bench_tpu_integration():
+    """Run the HAPHIC_TEST_TPU quick-start test so the 'toy pipeline in
+    seconds on device' claim is verified every round."""
+    env = dict(os.environ)
+    env['HAPHIC_TEST_TPU'] = '1'
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, '-m', 'pytest', '-x', '-q',
+         os.path.join(REPO, 'tests', 'test_tpu_integration.py')],
+        env=env, capture_output=True, text=True,
+        timeout=max(30, remaining() - 10))
+    secs = time.time() - t0
+    return proc.returncode == 0, secs, proc.stdout.strip().splitlines()[-1:]
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
     sub = {}
 
-    def guard(name, fn):
-        """One flaky submetric (the tunnel TPU worker can crash) must
-        not cost the whole bench line."""
-        try:
-            fn()
-        except Exception as e:
-            sub[name] = {'error': str(e).splitlines()[0][:120]}
+    def on_alarm(signum, frame):
+        raise BenchTimeout()
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(max(5, int(remaining() - 15)))
 
     def _dense():
         # dense MCL first: warms the (B=20, n=2048) executable that the
@@ -388,49 +454,79 @@ def main():
             'device_s': round(dev_s, 1), 'iters': iters}
 
     def _e2e():
-        ref_s, ours_s = bench_cluster_e2e()
+        ref_s, ours_s, phases = bench_cluster_e2e()
         sub['cluster_e2e'] = {
             'x': round(ref_s / ours_s, 2), 'ref_cpu_s': round(ref_s, 1),
-            'device_s': round(ours_s, 1)}
+            'device_s': round(ours_s, 1), 'phases': phases}
 
     def _e2e_big():
-        ref_b, ours_b = bench_cluster_e2e(
+        ref_b, ours_b, phases = bench_cluster_e2e(
             SIM_BIG, cache_key='cluster_e2e_big_ref',
             measure_baseline=bool(os.environ.get('HAPHIC_BENCH_BIG')))
         if ref_b is not None:
             sub['cluster_e2e_16k'] = {
                 'x': round(ref_b / ours_b, 2),
                 'ref_cpu_s': round(ref_b, 1),
-                'device_s': round(ours_b, 1)}
+                'device_s': round(ours_b, 1), 'phases': phases}
 
     def _sparse():
         cpu_s, dev_s, iters = bench_mcl_sparse()
-        sub['mcl_sparse_16384'] = {
+        sub['mcl_sparse_16k_i4'] = {
             'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
             'device_s': round(dev_s, 1), 'iters': iters}
 
     def _ga():
         nat_s, dev_s, gps = bench_ga()
-        sub['ga_8x512'] = {
+        sub['ga_{}x{}'.format(GA_GROUPS, GA_K)] = {
             'x': round(nat_s / dev_s, 2), 'native_cpu_s': round(nat_s, 1),
             'device_s': round(dev_s, 1), 'gens_per_s': round(gps)}
 
-    guard('mcl_dense_2048', _dense)
-    guard('cluster_e2e', _e2e)
-    guard('cluster_e2e_16k', _e2e_big)
-    guard('mcl_sparse_16384', _sparse)
-    guard('ga_8x512', _ga)
+    def _tpu_test():
+        ok, secs, tail = bench_tpu_integration()
+        sub['tpu_integration'] = {
+            'passed': ok, 'secs': round(secs, 1),
+            'detail': tail[0] if tail else ''}
+
+    # cheapest-first; headline candidates early so a tight budget still
+    # produces a meaningful number. Estimates come from the last
+    # successful run (cached), with conservative defaults.
+    plan = [
+        ('mcl_dense_2048', _dense, 70),
+        ('cluster_e2e', _e2e, 120),
+        ('mcl_sparse_16k_i4', _sparse, 150),
+        ('ga_8x256', _ga, 150),
+        ('tpu_integration', _tpu_test, 90),
+        ('cluster_e2e_16k', _e2e_big, 300),
+    ]
+    for name, fn, default_est in plan:
+        est = estimate(name, default_est)
+        if remaining() < est * 1.15 + 10:
+            sub[name] = {'skipped': 'budget ({}s left, ~{}s needed)'
+                         .format(int(remaining()), int(est))}
+            continue
+        t0 = time.time()
+        try:
+            fn()
+            record_estimate(name, time.time() - t0)
+        except BenchTimeout:
+            sub[name] = {'error': 'budget expired mid-run'}
+            break
+        except Exception as e:
+            # one flaky submetric (the tunnel TPU worker can crash)
+            # must not cost the whole bench line
+            sub[name] = {'error': str(e).splitlines()[0][:120]}
+    signal.alarm(0)
     sub = {k: v for k, v in sub.items() if v}
 
     def ok(name):
         return name in sub and 'x' in sub[name]
 
     headline = next((nm for nm in ('cluster_e2e_16k', 'cluster_e2e',
-                                   'mcl_sparse_16384', 'mcl_dense_2048')
+                                   'mcl_sparse_16k_i4', 'mcl_dense_2048')
                      if ok(nm)), None)
     if headline is None:
         print(json.dumps({'metric': 'bench_failed', 'value': 0,
-                          'unit': 'all submetrics errored',
+                          'unit': 'all submetrics errored or skipped',
                           'vs_baseline': 0, 'submetrics': sub}))
         return
     h = sub[headline]
@@ -441,12 +537,25 @@ def main():
         'unit': 'x ({}: ref {}s -> {}s; submetrics: {})'.format(
             headline, ref_secs, h['device_s'],
             ', '.join('{} {}x'.format(kk, vv['x']) if 'x' in vv
-                      else '{} ERR'.format(kk)
+                      else '{} {}'.format(
+                          kk, 'ERR' if 'error' in vv else
+                          'SKIP' if 'skipped' in vv else
+                          ('PASS' if vv.get('passed') else 'FAIL'))
                       for kk, vv in sub.items() if kk != headline)),
         'vs_baseline': h['x'],
         'submetrics': sub,
+        'budget_s': BUDGET,
+        'elapsed_s': round(time.time() - T0, 1),
     }))
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except BenchTimeout:
+        print(json.dumps({'metric': 'bench_failed', 'value': 0,
+                          'unit': 'budget expired', 'vs_baseline': 0}))
+    except Exception as e:
+        print(json.dumps({'metric': 'bench_failed', 'value': 0,
+                          'unit': str(e).splitlines()[0][:200],
+                          'vs_baseline': 0}))

@@ -65,13 +65,15 @@ MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
 
 # Work (npop * ngen * total CLM records) below which the native C++ GA
 # (native/tour_ga.cpp) beats the device path. Measured on the v5e
-# tunnel backend (bench.py ga_8x256): the native kernel sustains
-# ~8.5e8 record-evaluations/s on 2 host threads while the device path
-# pays per-dispatch RPC latency, so single-host workloads up to ~1e11
-# run native; the device GA earns its keep on multi-chip meshes
-# (groups shard with zero collectives, optimize_tours(mesh=...)) and
-# frees the host CPU during ingest-overlapped sorting.
-NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 1e11))
+# tunnel backend (round 3, after the one-hot-matmul score rewrite):
+# the device GA sustains ~4.1e8 record-evaluations/s hot vs the
+# native kernel's ~2.8e8/s on 2 host threads, so at scale the device
+# wins ~1.5x per chip (and shards over meshes with zero collectives,
+# optimize_tours(mesh=...)). What the device pays up front is one XLA
+# compile per bucket shape (~30 s warm cache, worse cold on the
+# tunnel): break-even is work ≈ compile / (1/2.8e8 - 1/4.1e8) ≈ 2e10.
+# Below that, native; above, device.
+NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 2e10))
 
 _native = None
 _native_checked = False
@@ -241,35 +243,53 @@ def _score_population(order, ori, lengths, pa, pb, d, w, chunk: int):
     order: int32 (P, k) — contig local id at each tour slot
     ori:   int32 (P, k) — orientation bit at each slot (1 = '-')
     Returns float32 (P,) scores.
+
+    TPU notes (measured on v5e at 8 groups x 100 pop x 16k records):
+      * the per-contig tables are gathered per record through ONE-HOT
+        MATMULS on the MXU — the three tables (slot, start, orientation)
+        stack into a (3P, k) operand so each record side costs a single
+        (3P, k) @ (k, chunk) matmul. Per-element gather HLOs for the
+        same access pattern cost ~2x more; the original
+        cd[combo, iota] 2-D gather alone cost 180 ms/generation (~90%
+        of the round-2 device GA), vs ~9 ms for this whole function.
+      * Precision.HIGHEST keeps the matmul inputs f32: slot ids and
+        orientations must stay exact (they feed comparisons), and
+        one-hot rows sum exactly one product so results are exact for
+        ints < 2^24.
+      * the orientation-combination distance is a 4-way masked select.
     """
     P, k = order.shape
     lengths = lengths.astype(jnp.float32)
     L_at_slot = lengths[order]                         # (P, k)
     starts = jnp.cumsum(L_at_slot, axis=1) - L_at_slot  # (P, k) slot offsets
-    # invert the permutation: pos_of[p, c] = slot of contig c
-    pos_of = jnp.zeros((P, k), jnp.int32)
-    pos_of = pos_of.at[jnp.arange(P)[:, None], order].set(
-        jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (P, k)))
+    # invert the permutation: pos_of[p, c] = slot of contig c (argsort
+    # of a permutation = its inverse; avoids a TPU scatter)
+    pos_of = jnp.argsort(order, axis=1).astype(jnp.int32)
     start_of = jnp.take_along_axis(starts, pos_of, axis=1)  # (P, k) by contig
     ori_of = jnp.take_along_axis(ori, pos_of, axis=1)       # (P, k) by contig
+    T = jnp.concatenate([pos_of.astype(jnp.float32), start_of,
+                         ori_of.astype(jnp.float32)], axis=0)  # (3P, k)
 
     nchunks = pa.shape[0] // chunk
 
     def body(carry, xs):
         cpa, cpb, cd, cw = xs                          # (chunk,), (4, chunk)
-        pos_a = pos_of[:, cpa]                         # (P, chunk)
-        pos_b = pos_of[:, cpb]
-        sa = start_of[:, cpa]
-        sb = start_of[:, cpb]
+        oh_a = jax.nn.one_hot(cpa, k, dtype=jnp.float32)   # (chunk, k)
+        oh_b = jax.nn.one_hot(cpb, k, dtype=jnp.float32)
+        ga = jnp.dot(T, oh_a.T, precision=lax.Precision.HIGHEST)
+        gb = jnp.dot(T, oh_b.T, precision=lax.Precision.HIGHEST)
+        pos_a, sa, oa = ga[:P], ga[P:2 * P], ga[2 * P:]    # (P, chunk)
+        pos_b, sb, ob = gb[:P], gb[P:2 * P], gb[2 * P:]
         la = lengths[cpa][None, :]
         lb = lengths[cpb][None, :]
         a_first = pos_a < pos_b
         gap = jnp.where(a_first, sb - (sa + la), sa - (sb + lb))
-        oa = ori_of[:, cpa]
-        ob = ori_of[:, cpb]
-        combo = 2 * oa + ob
+        combo = (2.0 * oa + ob).astype(jnp.int32)
         combo = jnp.where(a_first, combo, 3 - combo)   # (P, chunk)
-        dval = cd[combo, jnp.arange(cd.shape[1])[None, :]]  # (P, chunk)
+        dval = (jnp.where(combo == 0, cd[0][None, :], 0.0)
+                + jnp.where(combo == 1, cd[1][None, :], 0.0)
+                + jnp.where(combo == 2, cd[2][None, :], 0.0)
+                + jnp.where(combo == 3, cd[3][None, :], 0.0))
         dist = jnp.maximum(gap + dval, 1.0)
         contrib = (cw[None, :] / dist).sum(axis=1)
         return carry + contrib, None

@@ -151,6 +151,9 @@ class ClusterStageResult:
     sweep: Optional[sweep_mod.SweepResult]
     clm_path: Optional[str]
     corrected_ctgs: List[str] = field(default_factory=list)
+    # per-phase wall seconds (parse/ingest/filters/mcl/statistics) —
+    # the profiling breakdown the bench surfaces
+    timings: Dict[str, float] = field(default_factory=dict)
 
 
 def cluster_stage(fasta: str, alignments: str, nchrs: int,
@@ -159,6 +162,7 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     scripts/HapHiC_cluster.py:2738-2959)."""
     os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
+    timings: Dict[str, float] = {}
     asm = read_fasta(fasta, RE=cfg.RE)
     logger.info('Parsed FASTA: %d contigs, %.1f Mb', len(asm),
                 asm.total_len / 1e6)
@@ -221,6 +225,7 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                             bin_size_kbp=bin_size_kbp, whitelist=whitelist)
     logger.info('Fragment table: %d fragments (bin size %d bp)',
                 len(frags), frags.bin_size)
+    timings['parse'] = time.time() - t0
 
     if remapper is not None:
         base_reader = make_reader(remapper.old_names)
@@ -251,6 +256,7 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                           keep_clm=not cfg.quick_view,
                           track_ctg_pair_to_frag=bool(remove_allelic)
                           and frags.any_split)
+    timings['ingest'] = time.time() - t0 - timings['parse']
     logger.info('Alignment pass done in %.1fs (%d contig pairs, %d '
                 'fragment pairs)', time.time() - t0, len(links.full.i),
                 len(links.flank.i))
@@ -269,7 +275,8 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                     time.time() - t0)
         return ClusterStageResult(asm=asm, frags=frags, links=links,
                                   filtered=None, sweep=None, clm_path=None,
-                                  corrected_ctgs=corrected_ctgs)
+                                  corrected_ctgs=corrected_ctgs,
+                                  timings=timings)
     clm_path = os.path.join(outdir, 'paired_links.clm')
     write_clm(links.clm, asm.names, clm_path,
               min_read_pairs=2)
@@ -322,6 +329,9 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     write_pickle(full_link_dict(links, asm.names),
                  os.path.join(outdir, 'full_links.pkl'))
 
+    timings['filters'] = (time.time() - t0 - timings['parse']
+                          - timings['ingest'])
+    t_mcl = time.time()
     sweep = sweep_mod.run_clustering(
         flank, kept_ids, frags, nchrs,
         expansion=cfg.expansion, min_inflation=cfg.min_inflation,
@@ -329,14 +339,21 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         max_iter=cfg.max_iter, pruning=cfg.pruning, outdir=outdir,
         mcl_backend=cfg.mcl_backend, sparse_K=cfg.sparse_K,
         mesh=_resolve_mesh(cfg))
+    timings['mcl'] = time.time() - t_mcl
     if cfg.output_statistics:
+        t_st = time.time()
         from haphic_tpu.cluster.statistics import output_statistics
         output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
-    logger.info('Clustering stage finished in %.1fs', time.time() - t0)
+        timings['statistics'] = time.time() - t_st
+    logger.info('Clustering stage finished in %.1fs (%s)',
+                time.time() - t0,
+                ', '.join('{} {:.1f}s'.format(k, v)
+                          for k, v in timings.items()))
     return ClusterStageResult(asm=asm, frags=frags, links=links,
                               filtered=filtered, sweep=sweep,
                               clm_path=clm_path,
-                              corrected_ctgs=corrected_ctgs)
+                              corrected_ctgs=corrected_ctgs,
+                              timings=timings)
 
 
 def _mock_quick_view_groups(asm: Assembly, gfa: Optional[str],
