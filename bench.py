@@ -24,10 +24,12 @@ pysam). Submetrics add kernel-level speedups:
                    with a per-phase breakdown (parse/ingest/filters/
                    mcl/statistics)
   mcl_dense_2048   20-inflation dense MCL sweep vs scipy CSC serial CPU
-  mcl_sparse_16k_i4  4-inflation sparse top-K MCL sweep at n=16384 vs
+  mcl_sparse_8k_i4 4-inflation sparse top-K MCL sweep at n=8192 vs
                    the reference's scipy CSC formulation on the SAME
-                   4 inflations (the full-20 sweep exceeds the bench
-                   budget; scaling is linear in inflation batches)
+                   4 inflations (the full-20 n=16k sweep exceeds the
+                   bench budget; scaling is linear in n and in
+                   inflation batches — docs/SPARSE_MCL.md has the
+                   measured 16k/32k/65k device numbers)
   ga_8x256         batched device GA (8 groups x 256 contigs) vs the
                    native C++ GA (the allhic stand-in)
   tpu_integration  HAPHIC_TEST_TPU=1 pytest of the on-device quick
@@ -139,7 +141,18 @@ SIM_BIG = dict(nchrs=8, ctgs_per_chr=2000, ctg_len=20000,
 
 
 def make_sim(outdir, sim=None):
+    """Simulated genome+pairs, cached under .bench_sim/ keyed by the
+    parameters — regenerating the 2M-row pairs text costs ~60 s that
+    the bench budget can spend on real submetrics instead."""
     sim = sim or SIM
+    key = 'sim_' + '_'.join(str(sim[k]) for k in sorted(sim))
+    cdir = os.path.join(REPO, '.bench_sim', key)
+    cfa = os.path.join(cdir, 'asm.fa')
+    cpairs = os.path.join(cdir, 'hic.pairs')
+    if os.path.exists(cfa) and os.path.exists(cpairs):
+        return cfa, cpairs
+    os.makedirs(cdir, exist_ok=True)
+    outdir = cdir
     rng = np.random.default_rng(sim['seed'])
     nchrs, cpc, L = sim['nchrs'], sim['ctgs_per_chr'], sim['ctg_len']
     n = nchrs * cpc
@@ -185,8 +198,7 @@ CLUSTER_FLAGS = ['--Nx', '100', '--RE_site_cutoff', '0',
 def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
                       measure_baseline=True):
     sim = sim or SIM
-    simdir = tempfile.mkdtemp(prefix='haphic_bench_sim_')
-    fa, pairs = make_sim(simdir, sim)
+    fa, pairs = make_sim(None, sim)
 
     def run_reference():
         import refbridge
@@ -207,7 +219,6 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
 
     ent = _load_cache().get(cache_key)
     if not measure_baseline and not (ent and ent.get('params') == sim):
-        shutil.rmtree(simdir, ignore_errors=True)
         return None, None, None
     ref_s = cached_baseline(cache_key, sim, run_reference)
 
@@ -223,7 +234,6 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
     phases = {k: round(v, 1)
               for k, v in res.cluster.timings.items()}
     shutil.rmtree(outdir, ignore_errors=True)
-    shutil.rmtree(simdir, ignore_errors=True)
     return ref_s, ours_s, phases
 
 
@@ -341,36 +351,48 @@ def _cpu_sweep(base_csc, inflations):
 
 
 def bench_mcl_dense(n=2048):
-    from haphic_tpu.cluster.mcl import run_mcl
+    from haphic_tpu.cluster.mcl import run_mcl_partitions
     mat = make_matrix(n)
     cpu_s = cached_baseline(
         'mcl_dense_cpu_n{}'.format(n),
         dict(n=n, inflations=N_INFLATIONS, max_iter=MAX_ITER),
         lambda: cpu_reference_sweep_dense_input(mat))
-    run_mcl(mat, INFLATIONS[:2], max_iter=4)          # warm compile
+    # cold first (includes the XLA compile — 40-210 s on the tunnel's
+    # remote-compile service, high variance), then hot: the hot number
+    # is the kernel speed, the cold one bounds a fresh process. The
+    # compiled executables are shared with cluster_e2e (same padded
+    # shapes), so running this submetric first warms the e2e run.
     t0 = time.time()
-    res = run_mcl(mat, INFLATIONS, max_iter=MAX_ITER)
+    run_mcl_partitions(mat, INFLATIONS, max_iter=MAX_ITER)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    parts, iters, conv = run_mcl_partitions(mat, INFLATIONS,
+                                            max_iter=MAX_ITER)
     device_s = time.time() - t0
-    return cpu_s, device_s, int(res.n_iters.sum())
+    return cpu_s, device_s, cold_s, int(iters.sum())
 
 
-def bench_mcl_sparse(n=16384, K=128):
+def bench_mcl_sparse(n=8192, K=128):
     """Sparse top-K sweep vs the reference scipy formulation, on the
-    reduced SPARSE_INFLATIONS list (one device inflation batch): the
-    full 20-inflation sweep is ~5x this cost on both sides (five
-    sequential inflation batches on device, 20 serial inflations on
-    CPU) and does not fit the bench budget."""
+    reduced SPARSE_INFLATIONS list (one device inflation batch) at
+    n=8192: the full 20-inflation n=16k sweep is ~10x this cost on
+    both sides and does not fit the bench budget."""
     from haphic_tpu.cluster.sparse_mcl import run_mcl_sparse
     i, j, w = make_sparse_coo(n)
     cpu_s = cached_baseline(
         'mcl_sparse_cpu_n{}_i{}'.format(n, len(SPARSE_INFLATIONS)),
         dict(n=n, inflations=SPARSE_INFLATIONS, max_iter=MAX_ITER),
         lambda: cpu_reference_sweep_coo(i, j, w, n, SPARSE_INFLATIONS))
+    # cold includes ~65 s of tunnel remote compiles (the adaptive-K
+    # shrink levels each compile once); hot is the engine speed
+    t0 = time.time()
+    run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K, max_iter=MAX_ITER)
+    cold_s = time.time() - t0
     t0 = time.time()
     res = run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K,
                          max_iter=MAX_ITER)
     device_s = time.time() - t0
-    return cpu_s, device_s, int(res.n_iters.sum())
+    return cpu_s, device_s, cold_s, int(res.n_iters.sum())
 
 
 # ---------------------------------------------------------------------------
@@ -448,10 +470,11 @@ def main():
     def _dense():
         # dense MCL first: warms the (B=20, n=2048) executable that the
         # cluster-stage run reuses, so e2e measures execution not compile
-        cpu_s, dev_s, iters = bench_mcl_dense()
+        cpu_s, dev_s, cold_s, iters = bench_mcl_dense()
         sub['mcl_dense_2048'] = {
             'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
-            'device_s': round(dev_s, 1), 'iters': iters}
+            'device_s': round(dev_s, 1),
+            'cold_s': round(cold_s, 1), 'iters': iters}
 
     def _e2e():
         ref_s, ours_s, phases = bench_cluster_e2e()
@@ -470,10 +493,11 @@ def main():
                 'device_s': round(ours_b, 1), 'phases': phases}
 
     def _sparse():
-        cpu_s, dev_s, iters = bench_mcl_sparse()
-        sub['mcl_sparse_16k_i4'] = {
+        cpu_s, dev_s, cold_s, iters = bench_mcl_sparse()
+        sub['mcl_sparse_8k_i4'] = {
             'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
-            'device_s': round(dev_s, 1), 'iters': iters}
+            'device_s': round(dev_s, 1), 'cold_s': round(cold_s, 1),
+            'iters': iters}
 
     def _ga():
         nat_s, dev_s, gps = bench_ga()
@@ -492,13 +516,13 @@ def main():
     # successful run (cached), with conservative defaults.
     plan = [
         ('mcl_dense_2048', _dense, 70),
-        ('cluster_e2e', _e2e, 120),
-        ('mcl_sparse_16k_i4', _sparse, 150),
-        ('ga_8x256', _ga, 150),
+        ('cluster_e2e', _e2e, 100),
+        ('ga_8x256', _ga, 130),
+        ('mcl_sparse_8k_i4', _sparse, 210),
         ('tpu_integration', _tpu_test, 90),
         ('cluster_e2e_16k', _e2e_big, 300),
     ]
-    for name, fn, default_est in plan:
+    for pos, (name, fn, default_est) in enumerate(plan):
         est = estimate(name, default_est)
         if remaining() < est * 1.15 + 10:
             sub[name] = {'skipped': 'budget ({}s left, ~{}s needed)'
@@ -509,7 +533,14 @@ def main():
             fn()
             record_estimate(name, time.time() - t0)
         except BenchTimeout:
+            # a timed-out run still calibrates next round's estimate
             sub[name] = {'error': 'budget expired mid-run'}
+            # calibrate next round's skip decision, but don't let one
+            # slow remote-compile poison the estimate past the budget
+            record_estimate(name, min((time.time() - t0) * 1.3,
+                                      BUDGET * 0.8))
+            for later, _, _ in plan[pos + 1:]:
+                sub[later] = {'skipped': 'budget expired'}
             break
         except Exception as e:
             # one flaky submetric (the tunnel TPU worker can crash)
@@ -522,7 +553,7 @@ def main():
         return name in sub and 'x' in sub[name]
 
     headline = next((nm for nm in ('cluster_e2e_16k', 'cluster_e2e',
-                                   'mcl_sparse_16k_i4', 'mcl_dense_2048')
+                                   'mcl_sparse_8k_i4', 'mcl_dense_2048')
                      if ok(nm)), None)
     if headline is None:
         print(json.dumps({'metric': 'bench_failed', 'value': 0,

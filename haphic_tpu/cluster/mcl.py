@@ -248,6 +248,60 @@ def run_mcl(adjacency: np.ndarray, inflations: Sequence[float],
     return MCLResult(matrices=mats, n_iters=iters, converged=conv)
 
 
+@jax.jit
+def _pack_nz(m: jnp.ndarray) -> jnp.ndarray:
+    """Nonzero structure of (B, n, n) matrices as a packed bitmask
+    (B, n, n/8), big-endian bit order (numpy.unpackbits default).
+    Cluster interpretation only needs the nonzero pattern, and the
+    final matrices are 32x larger — on the tunnel TPU backend the
+    (20, 2048, 2048) f32 transfer alone cost ~10 s of a 16 s sweep."""
+    B, n = m.shape[0], m.shape[-1]
+    nz = (m != 0).reshape(B, n, n // 8, 8).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (nz * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def run_mcl_partitions(adjacency: np.ndarray, inflations: Sequence[float],
+                       expansion: int = 2, max_iter: int = 200,
+                       pruning: float = 1e-4, precision: str = 'high',
+                       device_min_n: Optional[int] = None):
+    """Inflation sweep returning per-inflation cluster partitions
+    (lists as interpret_result) plus (n_iters, converged) — without
+    ever transferring the dense (B, n, n) result to the host: only the
+    packed nonzero bitmask crosses the wire."""
+    m = adjacency.shape[0]
+    min_n = DEVICE_MIN_N if device_min_n is None else device_min_n
+    if m < min_n:
+        res = _run_mcl_numpy(adjacency,
+                             np.asarray(inflations, np.float32),
+                             expansion, max_iter, pruning)
+        parts = [interpret_result(res.matrices[b])
+                 for b in range(len(res.n_iters))]
+        return parts, res.n_iters, res.converged
+    n = _bucket_pad(m)
+    a = _pad_to(adjacency.astype(np.float32), n)
+    p = _colnorm(jnp.asarray(a))
+    p = _matpower(p, expansion, precision)
+    infl = np.asarray(inflations, dtype=np.float32)
+    B = len(infl)
+    per = 4 * n * n * 4
+    chunk = max(1, min(B, int((6 << 30) // max(per, 1))))
+    parts = []
+    iters = np.empty((B,), dtype=np.int32)
+    conv = np.empty((B,), dtype=bool)
+    for s in range(0, B, chunk):
+        e = min(B, s + chunk)
+        mm, ii, cc = _mcl_batched(p, jnp.asarray(infl[s:e]), expansion,
+                                  max_iter, float(pruning), precision)
+        packed = np.asarray(_pack_nz(mm))
+        iters[s:e] = np.asarray(ii)
+        conv[s:e] = np.asarray(cc)
+        for b in range(e - s):
+            nz = np.unpackbits(packed[b], axis=-1)[:m, :m]
+            parts.append(interpret_result(nz))
+    return parts, iters, conv
+
+
 def interpret_result(matrix: np.ndarray, tol: float = 0.0
                      ) -> Optional[list]:
     """Extract clusters from a converged MCL matrix.

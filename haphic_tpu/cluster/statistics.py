@@ -62,7 +62,16 @@ def _link_density(max_group, current_group, links, group_re, ctg_re):
 def output_statistics(asm: Assembly, full: COO, cluster_sets,
                       outdir: str = '.', draw: bool = True) -> None:
     """``cluster_sets``: list of sweep.ClusterSet; writes into
-    ``outdir``/inflation_*/ (created by the sweep)."""
+    ``outdir``/inflation_*/ (created by the sweep).
+
+    Vectorized: the reference (and the round-2 twin) walked every link
+    through Python dicts once per inflation — O(#inflations × nnz)
+    interpreter work that measured 12.5 s of a 33 s cluster stage.
+    The accumulation is now one lexsort + reduceat per inflation, with
+    the reference's exact selection semantics: stable sort by links
+    descending, ties resolved by which group appears FIRST among the
+    contig's links in ascending pair order (= dict insertion order in
+    the reference, scripts/HapHiC_cluster.py:2350-2420)."""
     logger.info('Making some statistics for the next HapHiC '
                 'reassignment step...')
     names_in_order = asm.names_by_input_order()
@@ -75,62 +84,97 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
                      key=lambda x: x[1])
     x_re, y1_re, y2_re = _generate_axes(re_list, lengths, total_n,
                                         total_len)
+    drawer = _make_drawer() if draw else None
 
-    # name-keyed full link dict (insertion: ascending pair ids)
-    link_items = [((asm.names[int(a)], asm.names[int(b)]),
-                   int(w) if float(w).is_integer() else float(w))
-                  for a, b, w in zip(full.i, full.j, full.w)]
+    nc = len(asm)
+    ids_in_order = np.asarray([asm.name2id[c] for c in names_in_order])
+    re_arr = np.asarray(asm.re_sites, dtype=np.float64)
+    li = np.asarray(full.i, dtype=np.int64)
+    lj = np.asarray(full.j, dtype=np.int64)
+    lw = np.asarray(full.w, dtype=np.float64)
+
+    def as_scalar(v):
+        return int(v) if float(v).is_integer() else float(v)
 
     for cs in cluster_sets:
         d = os.path.join(outdir, 'inflation_{}'.format(cs.inflation))
         os.makedirs(d, exist_ok=True)
         _write_result(x_re, y1_re, y2_re, 'RE_site_threshold', d)
 
-        ctg_group: Dict[str, object] = {}
-        group_re: Dict[int, float] = {}
+        G = len(cs.clusters)
+        group_of = np.full(nc, -1, dtype=np.int64)
+        group_re = np.ones(max(G, 1), dtype=np.float64)
         for n, (ctgs, _) in enumerate(cs.clusters):
-            group_re[n] = 1
-            for ctg in ctgs:
-                ctg_group[ctg] = n
-                group_re[n] += re_sites[ctg] - 1
-        for c in asm.names:
-            ctg_group.setdefault(c, 'ungrouped')
+            ids = np.asarray([asm.name2id[c] for c in ctgs],
+                             dtype=np.int64)
+            group_of[ids] = n
+            group_re[n] += (re_arr[ids] - 1).sum()
 
-        group_links: Dict[str, Dict[int, float]] = {}
-        for (ci, cj), w in link_items:
-            gi, gj = ctg_group[ci], ctg_group[cj]
-            if gj != 'ungrouped':
-                group_links.setdefault(ci, {})
-                group_links[ci][gj] = group_links[ci].get(gj, 0) + w
-            if gi != 'ungrouped':
-                group_links.setdefault(cj, {})
-                group_links[cj][gi] = group_links[cj].get(gi, 0) + w
+        # every (contig, target-group) contribution, both directions,
+        # tagged with the link ordinal for the insertion-order tie-break
+        t = np.arange(len(li), dtype=np.int64)
+        ga, gb = group_of[li], group_of[lj]
+        m1, m2 = gb >= 0, ga >= 0
+        ct = np.concatenate([li[m1], lj[m2]])
+        gr = np.concatenate([gb[m1], ga[m2]])
+        wv = np.concatenate([lw[m1], lw[m2]])
+        tv = np.concatenate([t[m1], t[m2]])
 
-        link_list, density_list, ratio_list = [], [], []
-        for ctg in names_in_order:
-            gl = group_links.get(ctg)
-            if not gl:
-                link_list.append((ctg, 0))
-                density_list.append((ctg, 0))
-                ratio_list.append((ctg, 0))
-                continue
-            ranked = sorted(gl.items(), key=lambda x: x[1], reverse=True)
-            max_group, max_links = ranked[0]
-            link_list.append((ctg, max_links))
-            cur = ctg_group[ctg]
-            dmax = _link_density(max_group, cur, max_links,
-                                 group_re[max_group], re_sites[ctg])
-            density_list.append((ctg, dmax))
-            if len(group_re) > 1:
-                other = sum(_link_density(g, cur, l, group_re[g],
-                                          re_sites[ctg])
-                            for g, l in ranked[1:])
-                avg_other = other / (len(group_re) - 1)
-            else:
-                avg_other = 0
-            ratio_list.append((ctg, dmax / avg_other if avg_other
-                               else 1000000))
+        key = ct * max(G, 1) + gr
+        order = np.lexsort((tv, key))
+        key_s, wv_s = key[order], wv[order]
+        uk, start = np.unique(key_s, return_index=True)
+        w_sum = np.add.reduceat(wv_s, start) if len(wv_s) else wv_s
+        t_first = tv[order][start] if len(start) else tv[:0]
+        u_ct = uk // max(G, 1)
+        u_gr = uk % max(G, 1)
 
+        # per-entry link density (reference _link_density semantics)
+        own = u_gr == group_of[u_ct]
+        dens = np.where(own, w_sum / group_re[u_gr],
+                        w_sum / (group_re[u_gr] + re_arr[u_ct] - 1))
+
+        # best entry per contig: max links, ties -> earliest first link
+        sel = np.lexsort((t_first, -w_sum, u_ct))
+        ct_sel = u_ct[sel]
+        first = np.ones(len(sel), dtype=bool)
+        first[1:] = ct_sel[1:] != ct_sel[:-1]
+        best = sel[first]
+        best_ctg = u_ct[best]
+
+        links_best = np.zeros(nc, dtype=np.float64)
+        dens_best = np.zeros(nc, dtype=np.float64)
+        links_best[best_ctg] = w_sum[best]
+        dens_best[best_ctg] = dens[best]
+        has_links = np.zeros(nc, dtype=bool)
+        has_links[best_ctg] = True
+
+        # sum of the OTHER groups' densities in ranked order — reduceat
+        # accumulates sequentially, reproducing the reference's
+        # `sum(density for ranked[1:])` float order bit-for-bit
+        tail = np.where(first, 0.0, dens[sel])
+        seg_starts = np.nonzero(first)[0]
+        other = np.zeros(nc, dtype=np.float64)
+        if len(seg_starts):
+            other[best_ctg] = np.add.reduceat(tail, seg_starts)
+
+        ratio = np.zeros(nc, dtype=np.float64)
+        if G > 1:
+            avg_other = other / (G - 1)
+            ratio = np.where(avg_other != 0, dens_best
+                             / np.where(avg_other != 0, avg_other, 1.0),
+                             1000000.0)
+        else:
+            ratio = np.where(has_links, 1000000.0, 0.0)
+        ratio = np.where(has_links, ratio, 0.0)
+
+        def value_list(arr):
+            return [(c, as_scalar(arr[i]))
+                    for c, i in zip(names_in_order, ids_in_order)]
+
+        link_list = value_list(links_best)
+        density_list = value_list(dens_best)
+        ratio_list = value_list(ratio)
         link_list.sort(key=lambda x: x[1])
         density_list.sort(key=lambda x: x[1])
         ratio_list.sort(key=lambda x: x[1])
@@ -143,44 +187,68 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
         _write_result(*axes_density, 'Link_density_threshold', d)
         _write_result(*axes_ratio, 'Link_density_ratio_threshold', d)
 
-        if draw:
-            _draw(d, (x_re, y1_re, y2_re), axes_link, axes_density,
-                  axes_ratio)
+        if drawer is not None:
+            drawer.save(d, [(x_re, y1_re, y2_re), axes_link,
+                            axes_density, axes_ratio])
+
+    if drawer is not None:
+        drawer.close()
 
 
-def _draw(outdir, axes_re, axes_link, axes_density, axes_ratio) -> None:
-    try:
+class _StatDrawer:
+    """One reusable 4-panel figure: building matplotlib axes is ~10x
+    the cost of setting line data + savefig, and the inflation sweep
+    writes up to 20 statistics.pdf files with identical layout (only
+    the curves change; axis limits are fixed)."""
+
+    PANELS = [
+        ('RE site threshold', 'Number of RE sites', 500),
+        ('Hi-C link threshold', 'Number of links to the best group', 500),
+        ('Link density threshold', 'Link density to the best group',
+         0.001),
+        ('Link density ratio threshold',
+         'Link density ratio (best/average)', 20),
+    ]
+
+    def __init__(self):
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
+        self._plt = plt
+        self.fig = plt.figure(figsize=(8, 7))
+        self.lines = []
+        for n, (title, xlabel, xmax) in enumerate(self.PANELS, 1):
+            ax1 = self.fig.add_subplot(2, 2, n)
+            l1, = ax1.plot([], [], 'b')
+            ax1.tick_params(axis='y', colors='b')
+            ax1.set_xlim([0, xmax])
+            ax1.set_ylim([0, 50])
+            ax1.set_ylabel('Number of contigs filtered out (%)',
+                           color='b')
+            ax1.set_title(title)
+            ax1.set_xlabel(xlabel)
+            ax2 = ax1.twinx()
+            l2, = ax2.plot([], [], 'r')
+            ax2.tick_params(axis='y', colors='r')
+            ax2.set_ylim([90, 100])
+            ax2.set_ylabel('Length of remaining contigs (%)', color='r')
+            self.lines.append((l1, l2))
+        self.fig.tight_layout(w_pad=1, h_pad=1)
+
+    def save(self, outdir, panel_data) -> None:
+        for (l1, l2), (x, y1, y2) in zip(self.lines, panel_data):
+            l1.set_data(x, y1)
+            l2.set_data(x, y2)
+        self.fig.savefig(os.path.join(outdir, 'statistics.pdf'))
+
+    def close(self) -> None:
+        self._plt.close(self.fig)
+
+
+def _make_drawer():
+    try:
+        return _StatDrawer()
     except ImportError:
         logger.warning('matplotlib is not installed, statistical plots '
                        'are skipped')
-        return
-    fig = plt.figure(figsize=(8, 7))
-    panels = [
-        (axes_re, 'RE site threshold', 'Number of RE sites', 500),
-        (axes_link, 'Hi-C link threshold',
-         'Number of links to the best group', 500),
-        (axes_density, 'Link density threshold',
-         'Link density to the best group', 0.001),
-        (axes_ratio, 'Link density ratio threshold',
-         'Link density ratio (best/average)', 20),
-    ]
-    for n, ((x, y1, y2), title, xlabel, xmax) in enumerate(panels, 1):
-        ax1 = fig.add_subplot(2, 2, n)
-        ax1.plot(x, y1, 'b')
-        ax1.tick_params(axis='y', colors='b')
-        ax1.set_xlim([0, xmax])
-        ax1.set_ylim([0, 50])
-        ax1.set_ylabel('Number of contigs filtered out (%)', color='b')
-        ax1.set_title(title)
-        ax1.set_xlabel(xlabel)
-        ax2 = ax1.twinx()
-        ax2.plot(x, y2, 'r')
-        ax2.tick_params(axis='y', colors='r')
-        ax2.set_ylim([90, 100])
-        ax2.set_ylabel('Length of remaining contigs (%)', color='r')
-    fig.tight_layout(w_pad=1, h_pad=1)
-    fig.savefig(os.path.join(outdir, 'statistics.pdf'))
-    plt.close(fig)
+        return None

@@ -259,11 +259,11 @@ def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
                       for b in range(len(inflations))]
     else:
         mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
-        res = mcl_mod.run_mcl(mat, [float(i) for i in inflations],
-                              expansion=expansion, max_iter=max_iter,
-                              pruning=pruning, precision=precision)
-        partitions = [mcl_mod.interpret_result(res.matrices[b])
-                      for b in range(len(inflations))]
+        # partitions come back as packed nonzero bitmasks — the dense
+        # (B, n, n) result never crosses the (slow) device->host wire
+        partitions, _, _ = mcl_mod.run_mcl_partitions(
+            mat, [float(i) for i in inflations], expansion=expansion,
+            max_iter=max_iter, pruning=pruning, precision=precision)
     cluster_sets: List[ClusterSet] = []
     for b, inflation in enumerate(inflations):
         idx_clusters = partitions[b]
