@@ -431,6 +431,7 @@ def coo_to_ell(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     counts = np.zeros(n + 1, dtype=np.int64)
     np.add.at(counts, cols, 1)
     overflow = int((counts > K).sum())
+    coo_to_ell.last_overflow = overflow
     if overflow:
         logger.info('sparse MCL: %d/%d columns exceed K=%d entries; '
                     'keeping the K largest per column', overflow, n, K)
@@ -472,6 +473,8 @@ class SparseMCLResult:
     n: int
     n_iters: np.ndarray      # (B,)
     converged: np.ndarray    # (B,)
+    K: int = 0               # top-K cap used (selection pruning width)
+    overflow_cols: int = 0   # columns of the INPUT matrix wider than K
 
     def csr(self, b: int):
         """Final matrix of inflation b as scipy CSR (rows x cols)."""
@@ -542,6 +545,7 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     infl = np.asarray(inflations, dtype=np.float32)
     B = len(infl)
     idx0, val0 = coo_to_ell(i, j, w, n, K, add_self_loops=add_self_loops)
+    overflow_cols = getattr(coo_to_ell, 'last_overflow', 0)
 
     # Small independent inflation batches beat one lockstep batch:
     # every iteration costs O(batch · n · K²), and a batch stops as
@@ -592,4 +596,5 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
         iters[s:e] = it[:e - s]
         conv[s:e] = cc[:e - s]
     return SparseMCLResult(idx=out_idx, val=out_val, n=n, n_iters=iters,
-                           converged=conv)
+                           converged=conv, K=K,
+                           overflow_cols=overflow_cols)

@@ -244,11 +244,31 @@ def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
                                 mesh=mesh)
         partitions = [res.interpret(b) for b in range(len(inflations))]
         # selection pruning caps every column at K entries: surface the
-        # approximation (VERDICT r2 weak #4) — exact iff no overflow
-        logger.info('Sparse MCL: top-K selection pruning with K=%d; '
+        # approximation (exact iff no input column exceeded K) in the
+        # log AND as a durable artifact next to the cluster files
+        logger.info('Sparse MCL: top-K selection pruning with K=%d '
+                    '(%d/%d input columns wider than K -> %s); '
                     '%d/%d inflations converged in %s iterations',
-                    K, int(res.converged.sum()), len(inflations),
+                    res.K, res.overflow_cols, m,
+                    'approximate' if res.overflow_cols else 'exact',
+                    int(res.converged.sum()), len(inflations),
                     res.n_iters.tolist())
+        if write_files:
+            with open(os.path.join(outdir, 'sparse_mcl_info.txt'),
+                      'w') as f:
+                f.write('# sparse top-K MCL engine parameters\n')
+                f.write('n_fragments\t{}\n'.format(m))
+                f.write('K\t{}\n'.format(res.K))
+                f.write('input_columns_over_K\t{}\n'.format(
+                    res.overflow_cols))
+                f.write('exact\t{}\n'.format(
+                    'no (selection pruning active)'
+                    if res.overflow_cols else 'yes'))
+                for b, inf_ in enumerate(inflations):
+                    f.write('inflation_{}\titerations={}\t'
+                            'converged={}\n'.format(
+                                inf_, int(res.n_iters[b]),
+                                bool(res.converged[b])))
     elif mesh is not None:
         from haphic_tpu.parallel.mesh import mcl_sweep_sharded
         mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))

@@ -192,3 +192,49 @@ def test_sparse_expansion_power_3():
     dp = mcl_mod.interpret_result(dense.matrices[0])
     assert dp is not None
     assert sparse.interpret(0) == dp
+
+
+@pytest.mark.slow
+def test_sparse_scale_truth_recovery():
+    """Pipeline-scale quality pin for the sparse engine: at n=8192
+    (above SPARSE_MIN_N, where the auto dispatch turns selection
+    pruning on) a chromosome-structured matrix's true 8-block
+    partition must be recovered exactly at some swept inflation. A
+    dense oracle is computationally infeasible at this n; ground truth
+    stands in for it."""
+    n, blocks = 8192, 8
+    per = n // blocks
+    rng = np.random.default_rng(42)
+    ii, jj, ww = [], [], []
+    for b in range(blocks):
+        lo = b * per
+        nnz = per * 20
+        a = rng.integers(0, per, nnz)
+        off = rng.geometric(1 / 20.0, nnz)
+        c = a + off
+        sel = c < per
+        ii.append(a[sel] + lo)
+        jj.append(c[sel] + lo)
+        ww.append(rng.integers(2, 40, sel.sum()).astype(np.float64))
+    # light inter-block noise
+    a = rng.integers(0, n, n)
+    c = rng.integers(0, n, n)
+    sel = a < c
+    ii.append(a[sel]); jj.append(c[sel]); ww.append(np.ones(sel.sum()))
+    i, j, w = map(np.concatenate, (ii, jj, ww))
+
+    res = sp.run_mcl_sparse(i, j, w, n, [1.2, 1.6, 2.0], K=96,
+                            max_iter=60)
+    truth = sorted(tuple(range(b * per, (b + 1) * per))
+                   for b in range(blocks))
+    recovered = False
+    for b in range(3):
+        part = res.interpret(b)
+        if part is None:
+            continue
+        # ignore singleton clusters of noise-only isolates
+        big = sorted(c for c in part if len(c) > 1)
+        if big == truth:
+            recovered = True
+            break
+    assert recovered, 'no inflation recovered the 8 true blocks'
