@@ -201,9 +201,14 @@ def build_adjacency_coo(flank: COO, filtered_ids: np.ndarray, n_frag: int
     return lo, hi, w, filtered_ids
 
 
-# Above this fragment count the dense (B, n, n) formulation stops
-# fitting HBM comfortably and the ELL top-K engine takes over.
-SPARSE_MIN_N = int(os.environ.get('HAPHIC_SPARSE_MCL_MIN_N', 8192))
+# Above this fragment count the dense (n, n) formulation stops fitting
+# a single chip's HBM (the sweep already serializes inflations into
+# memory-sized chunks) and the ELL top-K engine takes over. Measured
+# on the v5e (16 GB): the dense MXU sweep beats the ELL engine by ~6x
+# up to n=16384 (11 s vs 65 s at n=8192 for 4 inflations; 63 s at
+# n=16384) and still completes at n=24576 with some HBM-pressure
+# degradation; 32768 (17 GB of f32 matrix alone) does not fit.
+SPARSE_MIN_N = int(os.environ.get('HAPHIC_SPARSE_MCL_MIN_N', 20000))
 
 
 def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
