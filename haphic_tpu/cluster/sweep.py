@@ -275,13 +275,12 @@ def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
                                 inf_, int(res.n_iters[b]),
                                 bool(res.converged[b])))
     elif mesh is not None:
-        from haphic_tpu.parallel.mesh import mcl_sweep_sharded
+        from haphic_tpu.parallel.mesh import mcl_sweep_sharded_partitions
         mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
-        res = mcl_sweep_sharded(mesh, mat, [float(i) for i in inflations],
-                                expansion=expansion, max_iter=max_iter,
-                                pruning=pruning, precision=precision)
-        partitions = [mcl_mod.interpret_result(res.matrices[b])
-                      for b in range(len(inflations))]
+        partitions, _, _ = mcl_sweep_sharded_partitions(
+            mesh, mat, [float(i) for i in inflations],
+            expansion=expansion, max_iter=max_iter,
+            pruning=pruning, precision=precision)
     else:
         mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
         # partitions come back as packed nonzero bitmasks — the dense

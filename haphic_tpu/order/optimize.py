@@ -660,22 +660,32 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
             return jax.device_put(jnp.asarray(x),
                                   NamedSharding(mesh, spec))
 
+        def fetch(*arrays):
+            """Host copies of possibly-mesh-sharded arrays (on a
+            multi-process mesh a plain np.asarray of a sharded array
+            raises; replicate first)."""
+            if mesh is None:
+                return [np.asarray(a) for a in arrays]
+            from haphic_tpu.parallel.mesh import host_fetch
+            return host_fetch(mesh, *arrays)
+
         lengths_j = place(lengths)
         pa_j, pb_j = place(pa), place(pb)
         d_j, w_j = place(d), place(w)
         order_j, ori_j = place(order), place(ori)
         scores = _score_batched(order_j, ori_j, lengths_j, pa_j, pb_j,
                                 d_j, w_j, c_eff)
-        best0 = np.asarray(jnp.max(scores, axis=1))
+        best0 = fetch(jnp.max(scores, axis=1))[0]
         histories: List[List[Tuple[int, float]]] = \
             [[(0, float(b))] for b in best0]
 
         if skip_ga:
-            b = np.asarray(jnp.argmax(scores, axis=1))
+            bsel, order_h, ori_h = fetch(jnp.argmax(scores, axis=1),
+                                         order_j, ori_j)
             for t, gi in enumerate(idxs):
                 p = problems[gi]
-                o = np.asarray(order_j[t, b[t]])
-                r = np.asarray(ori_j[t, b[t]])
+                o = order_h[t, bsel[t]]
+                r = ori_h[t, bsel[t]]
                 real = o < p.k
                 results[gi] = GAResult(order=o[real], ori=r[real],
                                        score=float(best0[t]),
@@ -695,14 +705,13 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                 gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
                 mutprob, c_eff, step)
             done += step
-            best = np.asarray(scores[:, 0])
+            best = fetch(scores[:, 0])[0]
             for t in range(G):
                 histories[t].append((done, float(best[t])))
             logger.debug('GA generation %d: bucket (k=%d, R=%d) best %s',
                          done, k_pad, Rp, best)
 
-        order_h, ori_h = np.asarray(order_j), np.asarray(ori_j)
-        final = np.asarray(scores[:, 0])
+        order_h, ori_h, final = fetch(order_j, ori_j, scores[:, 0])
         for t, gi in enumerate(idxs):
             p = problems[gi]
             o, r = order_h[t, 0], ori_h[t, 0]

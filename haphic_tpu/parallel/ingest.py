@@ -206,12 +206,17 @@ def _pack_link_data(local: LinkData) -> List[np.ndarray]:
         c = local.coords
         # okey (global stream-order key) is required to re-apply the
         # per-pair cap in true file order after the merge; sharded
-        # ingest always records it (aggregate_shard passes seq)
-        assert c.okey is not None, \
+        # ingest records it whenever the shard consumed any chunk — a
+        # shard whose stride got zero chunks has empty records and an
+        # empty key array stands in
+        okey = c.okey
+        if okey is None and len(c.ci) == 0:
+            okey = np.zeros(0, np.int64)
+        assert okey is not None, \
             'coords exchange requires stream-order keys (okey)'
         arrays += [c.pair_i.astype(np.int64), c.pair_j.astype(np.int64),
                    c.ci.astype(np.int64), c.cj.astype(np.int64),
-                   c.okey.astype(np.int64),
+                   okey.astype(np.int64),
                    c.total_counts_i.astype(np.int64),
                    c.total_counts.astype(np.int64)]
     if local.ctg_pair_to_frag is not None:

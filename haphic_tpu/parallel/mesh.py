@@ -103,6 +103,54 @@ def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def host_fetch(mesh: Mesh, *arrays):
+    """np.asarray for arrays that may be sharded across processes:
+    replicate over the mesh (XLA all-gather) first — fetching a value
+    that spans non-addressable devices raises otherwise."""
+    rep = NamedSharding(mesh, P())
+    outs = jax.jit(lambda *xs: xs,
+                   out_shardings=tuple(rep for _ in arrays))(*arrays)
+    return [np.asarray(o) for o in outs]
+
+
+def mcl_sweep_sharded_partitions(mesh: Mesh, adjacency: np.ndarray,
+                                 inflations, axis_name: str = 'data',
+                                 expansion: int = 2, max_iter: int = 200,
+                                 pruning: float = 1e-4,
+                                 precision: str = 'high'):
+    """Inflation-sharded dense sweep returning per-inflation cluster
+    partitions (multi-process safe): the (B, n, n) results never leave
+    the devices — only the packed nonzero bitmask is replicated and
+    fetched. Returns (partitions, n_iters, converged)."""
+    from haphic_tpu.cluster import mcl as mcl_mod
+
+    n_dev = mesh.devices.size
+    infl = np.asarray(inflations, dtype=np.float32)
+    B = len(infl)
+    pad = (-B) % n_dev
+    infl_p = np.pad(infl, (0, pad), constant_values=infl[-1] if B else 1.0)
+    m = adjacency.shape[0]
+    n = max(mcl_mod.MXU_TILE,
+            ((m + mcl_mod.MXU_TILE - 1) // mcl_mod.MXU_TILE)
+            * mcl_mod.MXU_TILE)
+    a = mcl_mod._pad_to(adjacency.astype(np.float32), n)
+    with mesh:
+        precision = precision or 'high'
+        pre = mcl_mod._colnorm(jnp.asarray(a))
+        pre = mcl_mod._matpower(pre, expansion, precision)
+        pre = replicate(mesh, pre)
+        infl_s = shard_batch(mesh, jnp.asarray(infl_p), axis_name)
+        mats, iters, conv = mcl_mod._mcl_batched(
+            pre, infl_s, expansion, max_iter, float(pruning), precision)
+        packed = mcl_mod._pack_nz(mats)
+        packed, iters, conv = host_fetch(mesh, packed, iters, conv)
+    parts = []
+    for b in range(B):
+        nz = np.unpackbits(packed[b], axis=-1)[:m, :m]
+        parts.append(mcl_mod.interpret_result(nz))
+    return parts, iters[:B], conv[:B]
+
+
 def mcl_sweep_sharded(mesh: Mesh, adjacency: np.ndarray,
                       inflations, axis_name: str = 'data', **kw):
     """Inflation-parallel MCL sweep: the (B, n, n) stack is sharded on
