@@ -194,6 +194,101 @@ def filter_fragments(frags: Fragments, flank: COO, frag_links: np.ndarray,
                         n_after_rank_sum=len(rank_ids))
 
 
+def _topn_ranks_dense(mat: np.ndarray, topN: int):
+    """(top neighbors, rank lookup fn) from the dense link matrix."""
+    nf = mat.shape[0]
+    order = np.argsort(-mat, axis=1, kind='stable')       # (nf, nf)
+    rank_of = np.empty_like(order)
+    rows = np.arange(nf)[:, None]
+    rank_of[rows, order] = np.arange(nf)[None, :]
+    top = order[:, :min(topN, nf)]
+    return top, lambda x, y: rank_of[x, y]
+
+
+def _topn_ranks_sparse(ii, jj, ww, nf: int, topN: int):
+    """Same (top, rank) semantics as the dense path in O(nnz log nnz):
+    rank(x, y) = #entries of row x strictly stronger than mat[x, y]
+    plus equal-valued entries of smaller index — for zero-valued
+    (unlinked) pairs that is deg(x) + (#zero columns with index < y).
+    The dense path argsorts nf² entries (2 GB and ~10 s at nf=16000);
+    the adjacency holds all the information."""
+    rows = np.concatenate([ii, jj])
+    cols = np.concatenate([jj, ii])
+    vals = np.concatenate([ww, ww])
+    # collapse duplicates
+    key = rows * nf + cols
+    o = np.argsort(key, kind='stable')
+    key, vals = key[o], vals[o]
+    uk, start = np.unique(key, return_index=True)
+    vals = np.add.reduceat(vals, start) if len(vals) else vals
+    rows, cols = uk // nf, uk % nf
+
+    # per-row ordering by (-w, col): global lexsort
+    o2 = np.lexsort((cols, -vals, rows))
+    r_s, c_s, v_s = rows[o2], cols[o2], vals[o2]
+    deg = np.zeros(nf, dtype=np.int64)
+    np.add.at(deg, rows, 1)
+    ptr = np.zeros(nf + 1, dtype=np.int64)
+    np.cumsum(deg, out=ptr[1:])
+    pos_in_row = np.arange(len(r_s)) - ptr[r_s]
+
+    # id-ascending view for "nonzeros of x below y" queries; since
+    # (rows, cols) pairs are unique, key order IS (row, id) order
+    key_adj = rows * nf + cols                   # sorted ascending
+    # rank position of each existing (x, y) entry, queryable by key
+    pos_of_key = np.empty(len(key_adj), dtype=np.int64)
+    # map sorted-by-(row,-w,col) entries back to (row,col)-key order
+    back = np.argsort(o2, kind='stable')
+    pos_of_key = pos_in_row[back]
+
+    t = min(topN, nf)
+
+    # top-t per row: the first t of the row's (-w, col)-sorted entries,
+    # zero-filled (dense semantics: zero-valued columns rank after all
+    # positives, ascending index, skipping indices already linked)
+    top = np.full((nf, t), -1, dtype=np.int64)
+    have = np.arange(t)[None, :] < deg[:, None]
+    slot = ptr[:-1][:, None] + np.arange(t)[None, :]
+    if len(c_s):
+        top = np.where(have, c_s[np.minimum(slot, len(c_s) - 1)], -1)
+    for x in np.nonzero(deg < t)[0]:       # rare rows with deg < topN
+        linked = set(c_s[ptr[x]:ptr[x + 1]].tolist())
+        fill = []
+        cand = 0
+        while len(fill) < t - deg[x]:
+            if cand not in linked:
+                fill.append(cand)
+            cand += 1
+        top[x, deg[x]:] = fill
+
+    def rank(x, y):
+        """Vectorized rank queries (equal-length arrays x, y)."""
+        q = x * nf + y
+        loc = np.searchsorted(key_adj, q)
+        hit = np.zeros(len(q), dtype=bool)
+        if len(key_adj):
+            inb = loc < len(key_adj)
+            hit[inb] = key_adj[loc[inb]] == q[inb]
+        out = np.empty(len(q), dtype=np.int64)
+        # existing entries: their position in the (-w, col) row order
+        out[hit] = pos_of_key[loc[hit]]
+        # zero entries: deg(x) + #zero columns of x with index < y
+        #             = deg(x) + y - #linked columns of x with index < y
+        miss = ~hit
+        if miss.any():
+            xm, ym = x[miss], y[miss]
+            below = np.searchsorted(key_adj, xm * nf + ym) - ptr[xm]
+            out[miss] = deg[xm] + ym - below
+        return out
+
+    return top, rank
+
+
+# Dense is faster below this fragment count; above it the nf² argsort
+# dominates the whole filter stage (measured 21.6 s at nf=16000).
+RANK_SUM_DENSE_MAX_N = 4096
+
+
 def _rank_sum_filter(ids: np.ndarray, flank: COO, n_frag: int, topN: int,
                      rank_sum_upper: str, hard_cutoff: int
                      ) -> Tuple[np.ndarray, int]:
@@ -210,23 +305,21 @@ def _rank_sum_filter(ids: np.ndarray, flank: COO, n_frag: int, topN: int,
     lookup = np.full(n_frag, -1, dtype=np.int64)
     lookup[ids] = np.arange(nf)
     sel = (lookup[flank.i] >= 0) & (lookup[flank.j] >= 0)
-    mat = np.zeros((nf, nf), dtype=np.float64)
     ii, jj = lookup[flank.i[sel]], lookup[flank.j[sel]]
-    np.add.at(mat, (ii, jj), flank.w[sel])
-    np.add.at(mat, (jj, ii), flank.w[sel])
+    ww = flank.w[sel]
+    if nf <= RANK_SUM_DENSE_MAX_N:
+        mat = np.zeros((nf, nf), dtype=np.float64)
+        np.add.at(mat, (ii, jj), ww)
+        np.add.at(mat, (jj, ii), ww)
+        top, rank = _topn_ranks_dense(mat, topN)
+    else:
+        top, rank = _topn_ranks_sparse(ii, jj, ww, nf, topN)
 
-    # descending link order with ascending-index tie-break
-    order = np.argsort(-mat, axis=1, kind='stable')       # (nf, nf)
-    rank_of = np.empty_like(order)
-    rows = np.arange(nf)[:, None]
-    rank_of[rows, order] = np.arange(nf)[None, :]
-
-    top = order[:, :min(topN, nf)]                         # (nf, t)
     t = top.shape[1]
     rank_sum = np.zeros(nf, dtype=np.int64)
     for a, b in combinations(range(t), 2):
         ta, tb = top[:, a], top[:, b]
-        rank_sum += np.minimum(rank_of[ta, tb], rank_of[tb, ta])
+        rank_sum += np.minimum(rank(ta, tb), rank(tb, ta))
 
     n_hard = 0
     if hard_cutoff:

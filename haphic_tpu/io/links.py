@@ -69,14 +69,21 @@ def write_clm(clm: CLMData, names: List[str], path: str,
     if clm.u_first_seen is not None and len(clm.u_first_seen) == len(uk):
         emit = emit[np.argsort(clm.u_first_seen, kind='stable')]
 
+    # one bulk int->str pass per combo (np.char.mod's per-element
+    # sprintf and per-segment '{0} {0}'.format loops both cost tens of
+    # seconds at 10M read pairs; Python str() over a plain int list is
+    # the fastest available conversion)
+    strs = [list(map(str, sorted_d[c].tolist())) for c in range(4)]
+
+    ni_all = [names[int(k) // n] for k in uk]
+    nj_all = [names[int(k) % n] for k in uk]
     with open(path, 'w') as f:
         for t in emit[keep[emit]]:
-            k = int(uk[t])
             s, c = int(starts[t]), int(counts[t])
-            ni, nj = names[k // n], names[k % n]
+            ni, nj = ni_all[t], nj_all[t]
             for combo in range(4):
-                vals = sorted_d[combo][s:s + c]
-                body = ' '.join('{0} {0}'.format(v) for v in vals.tolist())
+                seg = strs[combo][s:s + c]
+                body = ' '.join('%s %s' % (v, v) for v in seg)
                 f.write('{}{} {}{}\t{}\t{}\n'.format(
                     ni, ORI[combo][0], nj, ORI[combo][1], 2 * c, body))
 

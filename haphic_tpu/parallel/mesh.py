@@ -155,7 +155,12 @@ def mcl_sweep_sharded(mesh: Mesh, adjacency: np.ndarray,
                       inflations, axis_name: str = 'data', **kw):
     """Inflation-parallel MCL sweep: the (B, n, n) stack is sharded on
     the inflation axis; every device runs the identical while-loop on
-    its shard (fully independent — zero collectives)."""
+    its shard (fully independent — zero collectives).
+
+    Returns full result MATRICES — single-process only (fetching them
+    raises on a multi-process mesh) and heavy on the wire; the
+    production pipeline path is mcl_sweep_sharded_partitions, which
+    ships only the packed nonzero bitmask."""
     from haphic_tpu.cluster import mcl as mcl_mod
 
     n_dev = mesh.devices.size

@@ -278,8 +278,21 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                                   corrected_ctgs=corrected_ctgs,
                                   timings=timings)
     clm_path = os.path.join(outdir, 'paired_links.clm')
-    write_clm(links.clm, asm.names, clm_path,
-              min_read_pairs=2)
+    # the CLM text artifact is ~half a minute of host string work at
+    # 10M read pairs; the host is otherwise idle while the MCL sweep
+    # runs on the device, so write it on a thread and join before the
+    # stage returns (artifact contract unchanged)
+    clm_err: List[BaseException] = []
+
+    def _write_clm_bg():
+        try:
+            write_clm(links.clm, asm.names, clm_path, min_read_pairs=2)
+        except BaseException as e:     # re-raised at join
+            clm_err.append(e)
+
+    import threading
+    clm_thread = threading.Thread(target=_write_clm_bg, daemon=True)
+    clm_thread.start()
 
     # ---- ordering parity with run() (scripts/HapHiC_cluster.py:2890-2935):
     # normalize → concentrated → filter → allelic → phasing → pickle
@@ -345,6 +358,11 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         from haphic_tpu.cluster.statistics import output_statistics
         output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
         timings['statistics'] = time.time() - t_st
+    t_w = time.time()
+    clm_thread.join()
+    if clm_err:
+        raise clm_err[0]
+    timings['clm_wait'] = time.time() - t_w
     logger.info('Clustering stage finished in %.1fs (%s)',
                 time.time() - t0,
                 ', '.join('{} {:.1f}s'.format(k, v)

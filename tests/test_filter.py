@@ -142,3 +142,30 @@ def test_normalize_by_nlinks_parity():
     got = normalize_by_nlinks(flank, frag_links.astype(np.float64))
     for i, j, w in zip(got.i, got.j, got.w):
         assert abs(flank_dict[(names[i], names[j])] - w) < 1e-9
+
+
+def test_rank_sum_sparse_equals_dense():
+    """The O(nnz log nnz) rank/top machinery must match the dense
+    nf²-argsort formulation exactly — including rows with fewer than
+    topN neighbors (zero-fill) and rank queries of unlinked pairs."""
+    import numpy as np
+    from haphic_tpu.core import filter as fmod
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        nf = int(rng.integers(30, 300))
+        nnz = int(rng.integers(nf // 2, nf * 12))
+        ii = rng.integers(0, nf, nnz)
+        jj = rng.integers(0, nf, nnz)
+        sel = ii < jj
+        ii, jj = ii[sel], jj[sel]
+        ww = rng.integers(1, 50, len(ii)).astype(np.float64)
+        mat = np.zeros((nf, nf))
+        np.add.at(mat, (ii, jj), ww)
+        np.add.at(mat, (jj, ii), ww)
+        for topN in (3, 10, 25):
+            td, rd = fmod._topn_ranks_dense(mat, topN)
+            ts, rs = fmod._topn_ranks_sparse(ii, jj, ww, nf, topN)
+            assert np.array_equal(td, ts), (trial, topN)
+            qx = rng.integers(0, nf, 400)
+            qy = rng.integers(0, nf, 400)
+            assert np.array_equal(rd(qx, qy), rs(qx, qy)), (trial, topN)
