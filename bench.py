@@ -24,6 +24,8 @@ pysam). Submetrics add kernel-level speedups:
                    with a per-phase breakdown (parse/ingest/filters/
                    mcl/statistics)
   mcl_dense_2048   20-inflation dense MCL sweep vs scipy CSC serial CPU
+  mcl_16k_i4       the production dense-MXU engine at n=16384 vs the
+                   reference scipy sweep, same matrix + 4 inflations
   mcl_sparse_8k_i4 4-inflation sparse top-K MCL sweep at n=8192 vs
                    the reference's scipy CSC formulation on the SAME
                    4 inflations (the full-20 n=16k sweep exceeds the
@@ -372,6 +374,33 @@ def bench_mcl_dense(n=2048):
     return cpu_s, device_s, cold_s, int(iters.sum())
 
 
+def bench_mcl_16k():
+    """The production MCL engine at n=16384 (the dense-MXU dispatch,
+    SPARSE_MIN_N=20000) vs the reference scipy sweep on the SAME
+    matrix and inflations (cached mcl_sparse_cpu_n16384_i4
+    baseline)."""
+    from scipy.sparse import coo_matrix
+    from haphic_tpu.cluster.mcl import run_mcl_partitions
+    n = 16384
+    i, j, w = make_sparse_coo(n)
+    cpu_s = cached_baseline(
+        'mcl_sparse_cpu_n{}_i{}'.format(n, len(SPARSE_INFLATIONS)),
+        dict(n=n, inflations=SPARSE_INFLATIONS, max_iter=MAX_ITER),
+        lambda: cpu_reference_sweep_coo(i, j, w, n, SPARSE_INFLATIONS))
+    m = coo_matrix((np.concatenate([w, w, np.ones(n)]),
+                    (np.concatenate([i, j, np.arange(n)]),
+                     np.concatenate([j, i, np.arange(n)]))),
+                   shape=(n, n)).toarray().astype(np.float32)
+    t0 = time.time()
+    run_mcl_partitions(m, SPARSE_INFLATIONS, max_iter=MAX_ITER)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    parts, iters, conv = run_mcl_partitions(m, SPARSE_INFLATIONS,
+                                            max_iter=MAX_ITER)
+    device_s = time.time() - t0
+    return cpu_s, device_s, cold_s, int(iters.sum())
+
+
 def bench_mcl_sparse(n=8192, K=128):
     """Sparse top-K sweep vs the reference scipy formulation, on the
     reduced SPARSE_INFLATIONS list (one device inflation batch) at
@@ -492,6 +521,13 @@ def main():
                 'ref_cpu_s': round(ref_b, 1),
                 'device_s': round(ours_b, 1), 'phases': phases}
 
+    def _dense16k():
+        cpu_s, dev_s, cold_s, iters = bench_mcl_16k()
+        sub['mcl_16k_i4'] = {
+            'x': round(cpu_s / dev_s, 2), 'cpu_s': round(cpu_s, 1),
+            'device_s': round(dev_s, 1), 'cold_s': round(cold_s, 1),
+            'iters': iters}
+
     def _sparse():
         cpu_s, dev_s, cold_s, iters = bench_mcl_sparse()
         sub['mcl_sparse_8k_i4'] = {
@@ -518,6 +554,7 @@ def main():
         ('mcl_dense_2048', _dense, 70),
         ('cluster_e2e', _e2e, 100),
         ('ga_8x256', _ga, 130),
+        ('mcl_16k_i4', _dense16k, 180),
         ('mcl_sparse_8k_i4', _sparse, 210),
         ('tpu_integration', _tpu_test, 90),
         ('cluster_e2e_16k', _e2e_big, 300),
@@ -553,7 +590,8 @@ def main():
         return name in sub and 'x' in sub[name]
 
     headline = next((nm for nm in ('cluster_e2e_16k', 'cluster_e2e',
-                                   'mcl_sparse_8k_i4', 'mcl_dense_2048')
+                                   'mcl_16k_i4', 'mcl_sparse_8k_i4',
+                                   'mcl_dense_2048')
                      if ok(nm)), None)
     if headline is None:
         print(json.dumps({'metric': 'bench_failed', 'value': 0,
