@@ -555,8 +555,8 @@ def main():
         ('cluster_e2e', _e2e, 100),
         ('ga_8x256', _ga, 130),
         ('mcl_16k_i4', _dense16k, 180),
-        ('mcl_sparse_8k_i4', _sparse, 210),
         ('tpu_integration', _tpu_test, 90),
+        ('mcl_sparse_8k_i4', _sparse, 210),
         ('cluster_e2e_16k', _e2e_big, 300),
     ]
     for pos, (name, fn, default_est) in enumerate(plan):

@@ -84,7 +84,14 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
                      key=lambda x: x[1])
     x_re, y1_re, y2_re = _generate_axes(re_list, lengths, total_n,
                                         total_len)
-    drawer = _make_drawer() if draw else None
+    drawer = None
+    if draw:
+        try:
+            import matplotlib  # noqa: F401 — availability probe
+            drawer = _ParallelDrawer()
+        except ImportError:
+            logger.warning('matplotlib is not installed, statistical '
+                           'plots are skipped')
 
     nc = len(asm)
     ids_in_order = np.asarray([asm.name2id[c] for c in names_in_order])
@@ -195,60 +202,79 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
         drawer.close()
 
 
-class _StatDrawer:
-    """One reusable 4-panel figure: building matplotlib axes is ~10x
-    the cost of setting line data + savefig, and the inflation sweep
-    writes up to 20 statistics.pdf files with identical layout (only
-    the curves change; axis limits are fixed)."""
-
-    PANELS = [
-        ('RE site threshold', 'Number of RE sites', 500),
-        ('Hi-C link threshold', 'Number of links to the best group', 500),
-        ('Link density threshold', 'Link density to the best group',
-         0.001),
-        ('Link density ratio threshold',
-         'Link density ratio (best/average)', 20),
-    ]
-
-    def __init__(self):
-        import matplotlib
-        matplotlib.use('Agg')
-        import matplotlib.pyplot as plt
-        self._plt = plt
-        self.fig = plt.figure(figsize=(8, 7))
-        self.lines = []
-        for n, (title, xlabel, xmax) in enumerate(self.PANELS, 1):
-            ax1 = self.fig.add_subplot(2, 2, n)
-            l1, = ax1.plot([], [], 'b')
-            ax1.tick_params(axis='y', colors='b')
-            ax1.set_xlim([0, xmax])
-            ax1.set_ylim([0, 50])
-            ax1.set_ylabel('Number of contigs filtered out (%)',
-                           color='b')
-            ax1.set_title(title)
-            ax1.set_xlabel(xlabel)
-            ax2 = ax1.twinx()
-            l2, = ax2.plot([], [], 'r')
-            ax2.tick_params(axis='y', colors='r')
-            ax2.set_ylim([90, 100])
-            ax2.set_ylabel('Length of remaining contigs (%)', color='r')
-            self.lines.append((l1, l2))
-        self.fig.tight_layout(w_pad=1, h_pad=1)
-
-    def save(self, outdir, panel_data) -> None:
-        for (l1, l2), (x, y1, y2) in zip(self.lines, panel_data):
-            l1.set_data(x, y1)
-            l2.set_data(x, y2)
-        self.fig.savefig(os.path.join(outdir, 'statistics.pdf'))
-
-    def close(self) -> None:
-        self._plt.close(self.fig)
-
-
 def _make_drawer():
     try:
-        return _StatDrawer()
+        from haphic_tpu.cluster._statdraw import StatDrawer
+        return StatDrawer()
     except ImportError:
         logger.warning('matplotlib is not installed, statistical plots '
                        'are skipped')
         return None
+
+
+class _ParallelDrawer:
+    """Render statistics.pdf files in forked worker processes:
+    matplotlib's PDF rendering is GIL-bound, so threads do not help,
+    and this environment supports neither spawn (re-imports __main__,
+    breaking ad-hoc scripts) nor forkserver. Jobs are collected and
+    rendered at close(): each forked child renders its stride with its
+    own figure and exits via os._exit — atexit handlers never run in
+    the child, so an inherited device client cannot tear down the
+    parent's session. Any failure falls back to serial rendering."""
+
+    def __init__(self, n_workers: int = 2):
+        self._n_workers = n_workers
+        self._jobs = []
+
+    def save(self, outdir, panel_data) -> None:
+        self._jobs.append((outdir, panel_data))
+
+    def _serial(self, jobs) -> None:
+        d = _make_drawer()
+        if d is None:
+            return
+        for outdir, panel_data in jobs:
+            d.save(outdir, panel_data)
+        d.close()
+
+    def close(self) -> None:
+        jobs = self._jobs
+        if not jobs:
+            return
+        nw = min(self._n_workers, len(jobs))
+        if nw < 2 or not hasattr(os, 'fork'):
+            self._serial(jobs)
+            return
+        pids = []
+        try:
+            import warnings
+            for w in range(nw):
+                with warnings.catch_warnings():
+                    # Python 3.12 warns on fork() in multi-threaded
+                    # processes (jax's background threads); the
+                    # children only render matplotlib and exit via
+                    # os._exit, never touching inherited threads/locks
+                    warnings.simplefilter('ignore', DeprecationWarning)
+                    pid = os.fork()
+                if pid == 0:
+                    code = 1
+                    try:
+                        from haphic_tpu.cluster._statdraw import StatDrawer
+                        d = StatDrawer()
+                        for outdir, panel_data in jobs[w::nw]:
+                            d.save(outdir, panel_data)
+                        code = 0
+                    finally:
+                        os._exit(code)
+                pids.append(pid)
+            ok = True
+            for p in pids:
+                _, status = os.waitpid(p, 0)
+                ok = ok and status == 0
+        except Exception:
+            ok = False
+        if not ok:
+            logger.warning('forked PDF rendering failed; rendering '
+                           'serially')
+            self._serial(jobs)
+

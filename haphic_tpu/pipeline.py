@@ -353,16 +353,19 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
         mcl_backend=cfg.mcl_backend, sparse_K=cfg.sparse_K,
         mesh=_resolve_mesh(cfg))
     timings['mcl'] = time.time() - t_mcl
-    if cfg.output_statistics:
-        t_st = time.time()
-        from haphic_tpu.cluster.statistics import output_statistics
-        output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
-        timings['statistics'] = time.time() - t_st
+    # join the CLM writer before statistics: the PDF renderer forks,
+    # and forking with another live thread risks inherited-lock
+    # deadlocks in the children
     t_w = time.time()
     clm_thread.join()
     if clm_err:
         raise clm_err[0]
     timings['clm_wait'] = time.time() - t_w
+    if cfg.output_statistics:
+        t_st = time.time()
+        from haphic_tpu.cluster.statistics import output_statistics
+        output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
+        timings['statistics'] = time.time() - t_st
     logger.info('Clustering stage finished in %.1fs (%s)',
                 time.time() - t0,
                 ', '.join('{} {:.1f}s'.format(k, v)
