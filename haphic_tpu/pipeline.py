@@ -227,11 +227,12 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                 len(frags), frags.bin_size)
     timings['parse'] = time.time() - t0
 
+    from haphic_tpu.io.pairs import prefetch
     if remapper is not None:
         base_reader = make_reader(remapper.old_names)
-        reader = (remapper.remap(c) for c in base_reader)
+        reader = prefetch(remapper.remap(c) for c in base_reader)
     else:
-        reader = make_reader(asm.names)
+        reader = prefetch(make_reader(asm.names))
     # quick view skips allelic/concentrated pruning
     # (reference scripts/HapHiC_cluster.py:2779-2784)
     remove_allelic = 0 if cfg.quick_view else cfg.remove_allelic_links
