@@ -136,3 +136,28 @@ def test_run_clustering_end_to_end(tmp_path):
     first = cl.read_text().splitlines()
     assert first[0] == '#Group\tnContigs\tContigs'
     assert first[1].startswith('group1_')
+
+
+def test_run_mcl_partitions_matches_matrices_path():
+    """The packed-bitmask partitions path must produce exactly the
+    partitions of interpret_result over the full result matrices."""
+    import numpy as np
+    from haphic_tpu.cluster.mcl import (interpret_result, run_mcl,
+                                        run_mcl_partitions)
+    rng = np.random.default_rng(3)
+    n, blocks = 96, 4
+    m = np.zeros((n, n), dtype=np.float32)
+    per = n // blocks
+    for b in range(blocks):
+        lo = b * per
+        w = rng.integers(1, 50, (per, per)).astype(np.float32)
+        blk = np.triu(w * (rng.random((per, per)) < 0.5), 1)
+        m[lo:lo + per, lo:lo + per] += blk + blk.T
+    np.fill_diagonal(m, 1.0)
+    inflations = [1.3, 1.8, 2.4]
+    res = run_mcl(m, inflations, max_iter=60, device_min_n=0)
+    parts, iters, conv = run_mcl_partitions(m, inflations, max_iter=60,
+                                            device_min_n=0)
+    assert np.array_equal(iters, res.n_iters)
+    for b in range(len(inflations)):
+        assert parts[b] == interpret_result(res.matrices[b]), b
