@@ -65,15 +65,16 @@ MIN_CHUNK = 1 << 9       # smallest padded chunk (shape-bucketing floor)
 
 # Work (npop * ngen * total CLM records) below which the native C++ GA
 # (native/tour_ga.cpp) beats the device path. Measured on the v5e
-# tunnel backend (round 3, after the one-hot-matmul score rewrite):
-# the device GA sustains ~4.1e8 record-evaluations/s hot vs the
-# native kernel's ~2.8e8/s on 2 host threads, so at scale the device
-# wins ~1.5x per chip (and shards over meshes with zero collectives,
-# optimize_tours(mesh=...)). What the device pays up front is one XLA
-# compile per bucket shape (~30 s warm cache, worse cold on the
-# tunnel): break-even is work ≈ compile / (1/2.8e8 - 1/4.1e8) ≈ 2e10.
-# Below that, native; above, device.
-NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 2e10))
+# tunnel backend (round 3, after rewriting the score AND the
+# mutate/crossover/selection gathers as one-hot matmuls / sorts): the
+# device GA sustains ~7.6e8 record-evaluations/s hot vs the native
+# kernel's ~2.8e8/s on 2 host threads — ~2.7x per chip, and it shards
+# over meshes with zero collectives (optimize_tours(mesh=...)). What
+# the device pays up front is one XLA compile per bucket shape
+# (~20-40 s warm cache, worse cold on the tunnel): break-even is
+# work ≈ compile / (1/2.8e8 - 1/7.6e8) ≈ 1e10. Below that, native;
+# above, device.
+NATIVE_MAX_WORK = float(os.environ.get('HAPHIC_GA_NATIVE_MAX_WORK', 1e10))
 
 _native = None
 _native_checked = False
@@ -301,6 +302,28 @@ def _score_population(order, ori, lengths, pa, pb, d, w, chunk: int):
     return total
 
 
+def _take_rows(vals, idx):
+    """vals[idx] for a row block — as a one-hot matmul on the MXU.
+    TPU gather HLOs on small (P, k) tensors cost milliseconds each
+    (they dominated the evolve loop: ~22 of 25 ms/generation across
+    mutate/crossover/selection); a (m, n) one-hot times (n, ...) is
+    microseconds. Exact for integer values < 2^24 (one-hot rows select
+    exactly one product; Precision.HIGHEST keeps f32 operands)."""
+    oh = jax.nn.one_hot(idx, vals.shape[0], dtype=jnp.float32)
+    flat = vals.reshape(vals.shape[0], -1).astype(jnp.float32)
+    out = jnp.dot(oh, flat, precision=lax.Precision.HIGHEST)
+    return out.reshape(idx.shape[0], *vals.shape[1:]).astype(vals.dtype)
+
+
+def _take_along(vals, idx):
+    """out[p, i] = vals[p, idx[p, i]] — batched one-hot einsum twin of
+    take_along_axis (see _take_rows for why)."""
+    oh = jax.nn.one_hot(idx, vals.shape[1], dtype=jnp.float32)
+    out = jnp.einsum('pij,pj->pi', oh, vals.astype(jnp.float32),
+                     precision=lax.Precision.HIGHEST)
+    return out.astype(vals.dtype)
+
+
 def _mutate(key, order, ori, mutprob):
     """One mutation per individual: swap / segment inversion / block
     rotation / segment orientation flip, chosen uniformly; applied with
@@ -344,9 +367,11 @@ def _mutate(key, order, ori, mutprob):
     src = jnp.where(op[:, None] == 0, src_swap,
                     jnp.where(op[:, None] == 1, src_inv,
                               jnp.where(op[:, None] == 2, src_rot, idx)))
-    rows = jnp.arange(P)[:, None]
-    new_order = order[rows, src]
-    new_ori = ori[rows, src]
+    both = jnp.stack([order, ori], axis=1)             # (P, 2, k)
+    oh = jax.nn.one_hot(src, k, dtype=jnp.float32)
+    g = jnp.einsum('pij,pcj->pci', oh, both.astype(jnp.float32),
+                   precision=lax.Precision.HIGHEST).astype(order.dtype)
+    new_order, new_ori = g[:, 0], g[:, 1]
     # inversion flips orientations in the span; op 3 flips span only
     flip = ((op[:, None] == 1) & in_span) | ((op[:, None] == 3) & in_span)
     new_ori = jnp.where(flip, 1 - new_ori, new_ori)
@@ -374,22 +399,26 @@ def _ox_crossover(key, order, ori, xoprob):
     e2 = jax.random.randint(keys[3], (P,), 0, k)
     i = jnp.minimum(e1, e2)[:, None]
     j = jnp.maximum(e1, e2)[:, None]
-    rows = jnp.arange(P)[:, None]
     idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (P, k))
     in_span = (idx >= i) & (idx <= j)
 
-    pos_a = jnp.zeros((P, k), jnp.int32).at[rows, order].set(idx)
-    b_order = order[partner]
-    b_ori = ori[partner]
-    pos_in_a = jnp.take_along_axis(pos_a, b_order, axis=1)
+    # every gather/scatter here runs as argsort / one-hot matmul /
+    # sort-compaction — TPU gather-scatter HLOs at these shapes cost
+    # milliseconds each (see _take_rows)
+    pos_a = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    bboth = _take_rows(jnp.stack([order, ori], axis=1), partner)
+    b_order, b_ori = bboth[:, 0], bboth[:, 1]
+    pos_in_a = _take_along(pos_a, b_order)
     keep = ~((pos_in_a >= i) & (pos_in_a <= j))        # partner genes
     b_rank = jnp.cumsum(keep, axis=1) - keep           # outside A's span
     slot_rank = jnp.cumsum(~in_span, axis=1) - (~in_span)
-    buf_idx = jnp.where(keep, b_rank, k)               # overflow slot k
-    buf = jnp.zeros((P, k + 1), jnp.int32).at[rows, buf_idx].set(b_order)
-    bufo = jnp.zeros((P, k + 1), jnp.int32).at[rows, buf_idx].set(b_ori)
-    child = jnp.where(in_span, order, buf[rows, slot_rank])
-    child_ori = jnp.where(in_span, ori, bufo[rows, slot_rank])
+    buf_idx = jnp.where(keep, b_rank, k).astype(jnp.int32)
+    # compact the kept partner genes to the front (ascending b_rank)
+    _, so, sr = lax.sort((buf_idx, b_order, b_ori), num_keys=1)
+    fill = _take_along(so, slot_rank)
+    fillo = _take_along(sr, slot_rank)
+    child = jnp.where(in_span, order, fill)
+    child_ori = jnp.where(in_span, ori, fillo)
     child = jnp.where(do[:, None], child, order)
     child_ori = jnp.where(do[:, None], child_ori, ori)
     return child, child_ori
@@ -417,8 +446,11 @@ def _evolve_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
         all_order = jnp.concatenate([order, off_order], axis=0)
         all_ori = jnp.concatenate([ori, off_ori], axis=0)
         all_scores = jnp.concatenate([scores, off_scores], axis=0)
-        top = jnp.argsort(-all_scores)[:P]
-        return (key, all_order[top], all_ori[top], all_scores[top])
+        # top_k is stable on ties (same as argsort(-scores)); the row
+        # selection runs as a one-hot matmul (see _take_rows)
+        top_scores, top = lax.top_k(all_scores, P)
+        g = _take_rows(jnp.stack([all_order, all_ori], axis=1), top)
+        return (key, g[:, 0], g[:, 1], top_scores)
 
     scores = _score_population(order, ori, lengths, pa, pb, d, w, chunk)
     state = (key, order, ori, scores)
