@@ -413,14 +413,18 @@ def bench_mcl_sparse(n=8192, K=128):
         dict(n=n, inflations=SPARSE_INFLATIONS, max_iter=MAX_ITER),
         lambda: cpu_reference_sweep_coo(i, j, w, n, SPARSE_INFLATIONS))
     # cold includes ~65 s of tunnel remote compiles (the adaptive-K
-    # shrink levels each compile once); hot is the engine speed
-    t0 = time.time()
-    run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K, max_iter=MAX_ITER)
-    cold_s = time.time() - t0
+    # shrink levels each compile once); hot is the engine speed and is
+    # measured only when the budget still allows a second run
     t0 = time.time()
     res = run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K,
                          max_iter=MAX_ITER)
-    device_s = time.time() - t0
+    cold_s = time.time() - t0
+    device_s = cold_s
+    if remaining() > cold_s * 0.7 + 20:
+        t0 = time.time()
+        res = run_mcl_sparse(i, j, w, n, SPARSE_INFLATIONS, K=K,
+                             max_iter=MAX_ITER)
+        device_s = time.time() - t0
     return cpu_s, device_s, cold_s, int(res.n_iters.sum())
 
 
@@ -556,7 +560,7 @@ def main():
         ('ga_8x256', _ga, 130),
         ('mcl_16k_i4', _dense16k, 180),
         ('tpu_integration', _tpu_test, 90),
-        ('mcl_sparse_8k_i4', _sparse, 210),
+        ('mcl_sparse_8k_i4', _sparse, 140),
         ('cluster_e2e_16k', _e2e_big, 300),
     ]
     for pos, (name, fn, default_est) in enumerate(plan):
