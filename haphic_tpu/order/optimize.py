@@ -512,7 +512,13 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
     chunk = _effective_chunk(problem.n_records, chunk)
     lengths_padded = np.zeros(k_pad, dtype=np.int64)
     lengths_padded[:k] = problem.lengths
-    pa, pb, d, w, _ = _pad_records(problem, chunk)
+    pa, pb, d, w, Rp = _pad_records(problem, chunk)
+    # largest memory-safe chunk: one scan step is markedly faster than
+    # many (see optimize_tours)
+    cap = max(MIN_CHUNK,
+              1 << (max(int(4e8) // max(npop, 1),
+                        MIN_CHUNK).bit_length() - 1))
+    chunk = max(MIN_CHUNK, min(Rp, cap))
     lengths = jnp.asarray(lengths_padded)
     pa, pb = jnp.asarray(pa), jnp.asarray(pb)
     d, w = jnp.asarray(d), jnp.asarray(w)
@@ -665,6 +671,16 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         if mesh is not None:
             nd = int(mesh.devices.size)
             Gp = -(-G // nd) * nd          # pad with dummy groups
+        # scan overhead is real: scoring R=262k records in one step is
+        # 2.8x faster than 16 chunked steps (52.5 -> 18.9 ms/gen
+        # measured on v5e). Run the largest power-of-two chunk the
+        # memory budget allows (intermediates scale with G*npop*chunk);
+        # Rp stays the bucket's record pad, so c_run always divides it.
+        max_elems = int(4e8)
+        cap = max(MIN_CHUNK,
+                  1 << (max(max_elems // max(Gp * npop, 1),
+                            MIN_CHUNK).bit_length() - 1))
+        c_run = max(MIN_CHUNK, min(Rp, cap))
         lengths = np.zeros((Gp, k_pad), dtype=np.int64)
         pa = np.zeros((Gp, Rp), dtype=np.int32)
         pb = np.zeros((Gp, Rp), dtype=np.int32)
@@ -706,7 +722,7 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         d_j, w_j = place(d), place(w)
         order_j, ori_j = place(order), place(ori)
         scores = _score_batched(order_j, ori_j, lengths_j, pa_j, pb_j,
-                                d_j, w_j, c_eff)
+                                d_j, w_j, c_run)
         best0 = fetch(jnp.max(scores, axis=1))[0]
         histories: List[List[Tuple[int, float]]] = \
             [[(0, float(b))] for b in best0]
@@ -735,7 +751,7 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                     gen_keys, NamedSharding(mesh, P(axis_name, None)))
             order_j, ori_j, scores = _evolve_batched(
                 gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
-                mutprob, c_eff, step)
+                mutprob, c_run, step)
             done += step
             best = fetch(scores[:, 0])[0]
             for t in range(G):
