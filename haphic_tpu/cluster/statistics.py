@@ -250,11 +250,11 @@ class _ParallelDrawer:
             import warnings
             for w in range(nw):
                 with warnings.catch_warnings():
-                    # Python 3.12 warns on fork() in multi-threaded
+                    # Python warns on fork() in multi-threaded
                     # processes (jax's background threads); the
                     # children only render matplotlib and exit via
                     # os._exit, never touching inherited threads/locks
-                    warnings.simplefilter('ignore', DeprecationWarning)
+                    warnings.simplefilter('ignore')
                     pid = os.fork()
                 if pid == 0:
                     code = 1

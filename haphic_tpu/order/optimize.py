@@ -514,11 +514,10 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
     lengths_padded[:k] = problem.lengths
     pa, pb, d, w, Rp = _pad_records(problem, chunk)
     # largest memory-safe chunk: one scan step is markedly faster than
-    # many (see optimize_tours)
-    cap = max(MIN_CHUNK,
-              1 << (max(int(4e8) // max(npop, 1),
-                        MIN_CHUNK).bit_length() - 1))
-    chunk = max(MIN_CHUNK, min(Rp, cap))
+    # many (see optimize_tours); always <= Rp so it divides the pad
+    cap = 1 << (max(int(4e8) // max(npop, 1),
+                    MIN_CHUNK).bit_length() - 1)
+    chunk = min(Rp, max(chunk, cap))
     lengths = jnp.asarray(lengths_padded)
     pa, pb = jnp.asarray(pa), jnp.asarray(pb)
     d, w = jnp.asarray(d), jnp.asarray(w)
@@ -677,10 +676,9 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         # memory budget allows (intermediates scale with G*npop*chunk);
         # Rp stays the bucket's record pad, so c_run always divides it.
         max_elems = int(4e8)
-        cap = max(MIN_CHUNK,
-                  1 << (max(max_elems // max(Gp * npop, 1),
-                            MIN_CHUNK).bit_length() - 1))
-        c_run = max(MIN_CHUNK, min(Rp, cap))
+        cap = 1 << (max(max_elems // max(Gp * npop, 1),
+                        MIN_CHUNK).bit_length() - 1)
+        c_run = min(Rp, max(c_eff, cap))
         lengths = np.zeros((Gp, k_pad), dtype=np.int64)
         pa = np.zeros((Gp, Rp), dtype=np.int32)
         pb = np.zeros((Gp, Rp), dtype=np.int32)
