@@ -360,6 +360,12 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)),
                       constant_values=n)
         val = jnp.pad(val, ((0, 0), (0, 0), (0, pad)))
+    if mesh is not None:
+        # sharded iterates can span non-addressable devices in a
+        # multi-process mesh: replicate before fetching (the GA path's
+        # host_fetch pattern, parallel/mesh.py:106)
+        from haphic_tpu.parallel.mesh import host_fetch
+        idx, val = host_fetch(mesh, idx, val)
     return (np.asarray(idx), np.asarray(val), conv_at,
             np.logical_not(active))
 
@@ -398,11 +404,14 @@ def _pre_expand(base_i, base_v, cur_i, cur_v, n: int, K: int, chunk: int):
 
 def coo_to_ell(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
                K: int, add_self_loops: bool = True
-               ) -> Tuple[np.ndarray, np.ndarray]:
+               ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Symmetric COO (upper or mixed triangle) -> column-normalized ELL
     (n+1, K). Columns with more than K entries keep the K largest
     (logged). Mirrors dict_to_matrix(add_self_loops=True) + the sweep's
-    initial L1 normalization (scripts/HapHiC_cluster.py:310-373,2143)."""
+    initial L1 normalization (scripts/HapHiC_cluster.py:310-373,2143).
+
+    Returns (idx, val, overflow) where overflow is the number of input
+    columns wider than K (0 ⇒ the ELL layout is exact)."""
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
     w = np.asarray(w, dtype=np.float64)
@@ -431,7 +440,6 @@ def coo_to_ell(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     counts = np.zeros(n + 1, dtype=np.int64)
     np.add.at(counts, cols, 1)
     overflow = int((counts > K).sum())
-    coo_to_ell.last_overflow = overflow
     if overflow:
         logger.info('sparse MCL: %d/%d columns exceed K=%d entries; '
                     'keeping the K largest per column', overflow, n, K)
@@ -463,7 +471,7 @@ def coo_to_ell(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
     val = np.zeros((n + 1, K), dtype=np.float32)
     idx[c3, slot] = r3
     val[c3, slot] = v3
-    return idx, val
+    return idx, val, overflow
 
 
 @dataclass
@@ -544,8 +552,8 @@ def run_mcl_sparse(i: np.ndarray, j: np.ndarray, w: np.ndarray, n: int,
         K = max(1, n)
     infl = np.asarray(inflations, dtype=np.float32)
     B = len(infl)
-    idx0, val0 = coo_to_ell(i, j, w, n, K, add_self_loops=add_self_loops)
-    overflow_cols = getattr(coo_to_ell, 'last_overflow', 0)
+    idx0, val0, overflow_cols = coo_to_ell(i, j, w, n, K,
+                                           add_self_loops=add_self_loops)
 
     # Small independent inflation batches beat one lockstep batch:
     # every iteration costs O(batch · n · K²), and a batch stops as

@@ -44,30 +44,53 @@ def prefetch(chunks, depth: int = 4):
     """Producer thread wrapping a chunk iterable: text parsing (which
     holds the GIL in C string ops) overlaps the numpy accumulation of
     the previous chunk. ~1.3-1.6x on 2-host-core ingest; exceptions
-    propagate to the consumer."""
+    propagate to the consumer. If the consumer abandons iteration
+    early (exception mid-aggregation, generator close), the producer
+    is signalled to stop and the wrapped iterable is closed so its
+    file handle is released rather than leaked for the process
+    lifetime."""
     import queue
     import threading
     q: 'queue.Queue' = queue.Queue(maxsize=depth)
     DONE = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for c in chunks:
-                q.put(c)
-            q.put(DONE)
+                if not put(c):
+                    return
+            put(DONE)
         except BaseException as e:
-            q.put(e)
+            put(e)
+        finally:
+            if stop.is_set():
+                close = getattr(chunks, 'close', None)
+                if close is not None:
+                    close()
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        stop.set()
 
 
 class PairsReader:
@@ -131,16 +154,28 @@ class PairsReader:
                     continue
                 ncols = len(lines[0].split())
                 parts = '\n'.join(lines).split()
-                if ncols < 5 or len(parts) != ncols * len(lines):
+                # total token count alone can coincidentally match a
+                # block that mixes column widths; the stride-sliced
+                # position columns would then hold non-numeric tokens,
+                # so the astype below raises and the block falls back
+                # to the validating per-line parser
+                if (ncols < 5 or len(parts) != ncols * len(lines)
+                        or len(lines[-1].split()) != ncols):
                     chunk = self._parse_lines(lines)
                 else:
-                    refs = np.asarray(parts[1::ncols])
-                    mrefs = np.asarray(parts[3::ncols])
-                    pos = np.asarray(parts[2::ncols]).astype(np.int64) - 1
-                    mpos = np.asarray(parts[4::ncols]).astype(np.int64) - 1
-                    chunk = AlignChunk(ref=self._resolve(refs), pos=pos,
-                                       mref=self._resolve(mrefs),
-                                       mpos=mpos)
+                    try:
+                        pos = (np.asarray(parts[2::ncols])
+                               .astype(np.int64) - 1)
+                        mpos = (np.asarray(parts[4::ncols])
+                                .astype(np.int64) - 1)
+                    except ValueError:
+                        chunk = self._parse_lines(lines)
+                    else:
+                        refs = np.asarray(parts[1::ncols])
+                        mrefs = np.asarray(parts[3::ncols])
+                        chunk = AlignChunk(ref=self._resolve(refs), pos=pos,
+                                           mref=self._resolve(mrefs),
+                                           mpos=mpos)
                 if len(chunk.ref):
                     yield chunk
             tail = [l for l in rem.split('\n')
@@ -154,6 +189,8 @@ class PairsReader:
         refs, mrefs, poss, mposs = [], [], [], []
         for line in lines:
             cols = line.split()
+            if len(cols) < 5:     # blank/whitespace-only/short lines
+                continue
             refs.append(cols[1])
             poss.append(int(cols[2]) - 1)
             mrefs.append(cols[3])

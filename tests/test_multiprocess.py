@@ -30,6 +30,40 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_two_process_sparse_mcl_matches_single(tmp_path):
+    """run_mcl_sparse on a 2-process/4-device mesh: the end-of-batch
+    fetch of sharded iterates must replicate first (it would raise on
+    non-addressable shards otherwise), and the fetched iterates must
+    be bitwise-identical to a meshless single-process run."""
+    import numpy as np
+    from haphic_tpu.cluster.sparse_mcl import run_mcl_sparse
+    rng = np.random.default_rng(5)
+    n = 96
+    i = rng.integers(0, n, 700)
+    off = rng.integers(1, 6, 700)
+    j = np.minimum(i + off, n - 1)
+    w = rng.integers(1, 20, 700).astype(np.float64)
+    ref = run_mcl_sparse(i, j, w, n, [1.2, 2.0], K=32, max_iter=60)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop('HAPHIC_JAX_CACHE_DIR', None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, 'tests', 'mh_worker.py'),
+         str(p), '2', str(port), str(tmp_path), 'sparse'],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    for pid in range(2):
+        got = np.load(str(tmp_path / 'sparse_p{}.npz'.format(pid)))
+        np.testing.assert_array_equal(got['idx'], ref.idx)
+        np.testing.assert_array_equal(got['val'], ref.val)
+        np.testing.assert_array_equal(got['iters'], ref.n_iters)
+
+
+@pytest.mark.slow
 def test_two_process_pipeline_matches_single(tmp_path):
     import random
     rng = random.Random(12345)

@@ -40,7 +40,7 @@ def test_coo_to_ell_reconstructs_normalized_matrix():
     m = _block_matrix(n=32, n_blocks=2, seed=1)
     i, j, w = _to_coo(m)
     n = m.shape[0]
-    idx, val = sp.coo_to_ell(i, j, w, n, K=n)
+    idx, val, _ = sp.coo_to_ell(i, j, w, n, K=n)
     dense = np.zeros((n, n), dtype=np.float64)
     for c in range(n):
         sel = idx[c] < n
@@ -135,7 +135,7 @@ def test_pre_expand_matrix_power():
     m = _block_matrix(n=24, n_blocks=2, seed=7)
     n = m.shape[0]
     i, j, w = _to_coo(m)
-    idx, val = sp.coo_to_ell(i, j, w, n, K=n)
+    idx, val, _ = sp.coo_to_ell(i, j, w, n, K=n)
     base = _ell_to_dense(idx, val, n)
     cur_i, cur_v = jnp.asarray(idx), jnp.asarray(val)
     expected = base.copy()
