@@ -544,7 +544,10 @@ def cmd_pipeline(args) -> int:
 def cmd_cluster(args) -> int:
     from haphic_tpu.pipeline import cluster_stage
     cfg = _config_from_args(args)
-    cluster_stage(args.fasta, args.alignments, args.nchrs, cfg, args.outdir)
+    cres = cluster_stage(args.fasta, args.alignments, args.nchrs, cfg,
+                         args.outdir)
+    if cres.stat_wait is not None:   # standalone: join the PDF workers
+        cres.stat_wait()
     return 0
 
 

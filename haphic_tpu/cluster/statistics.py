@@ -60,9 +60,18 @@ def _link_density(max_group, current_group, links, group_re, ctg_re):
 
 
 def output_statistics(asm: Assembly, full: COO, cluster_sets,
-                      outdir: str = '.', draw: bool = True) -> None:
+                      outdir: str = '.', draw: bool = True,
+                      background: bool = False):
     """``cluster_sets``: list of sweep.ClusterSet; writes into
     ``outdir``/inflation_*/ (created by the sweep).
+
+    With ``background=True`` the txt files are still written
+    synchronously (the byte contract of the reassignment step) but the
+    PDF render workers are only *started* before returning; the caller
+    must invoke the returned ``wait()`` callable before relying on the
+    statistics.pdf artifacts (run_pipeline does this after the build
+    stage, taking the render off the cluster stage's critical path).
+    Returns ``wait`` (a no-op callable when nothing renders).
 
     Vectorized: the reference (and the round-2 twin) walked every link
     through Python dicts once per inflation — O(#inflations × nnz)
@@ -198,8 +207,12 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
             drawer.save(d, [(x_re, y1_re, y2_re), axes_link,
                             axes_density, axes_ratio])
 
-    if drawer is not None:
-        drawer.close()
+    if drawer is None:
+        return lambda: None
+    drawer.start()
+    if not background:
+        drawer.wait()
+    return drawer.wait
 
 
 def _make_drawer():
@@ -225,6 +238,9 @@ class _ParallelDrawer:
     def __init__(self, n_workers: int = 2):
         self._n_workers = n_workers
         self._jobs = []
+        self._pids = []
+        self._started = False
+        self._waited = False
 
     def save(self, outdir, panel_data) -> None:
         self._jobs.append((outdir, panel_data))
@@ -237,15 +253,21 @@ class _ParallelDrawer:
             d.save(outdir, panel_data)
         d.close()
 
-    def close(self) -> None:
+    def start(self) -> None:
+        """Fork the render workers (non-blocking). Serial-render paths
+        (no fork, <2 jobs) run synchronously here."""
+        if self._started:
+            return
+        self._started = True
         jobs = self._jobs
         if not jobs:
+            self._waited = True
             return
         nw = min(self._n_workers, len(jobs))
         if nw < 2 or not hasattr(os, 'fork'):
             self._serial(jobs)
+            self._waited = True
             return
-        pids = []
         try:
             import warnings
             for w in range(nw):
@@ -266,9 +288,25 @@ class _ParallelDrawer:
                         code = 0
                     finally:
                         os._exit(code)
-                pids.append(pid)
-            ok = True
-            for p in pids:
+                self._pids.append(pid)
+        except Exception:
+            logger.warning('forking PDF render workers failed; '
+                           'rendering serially')
+            self._pids = []
+            self._serial(jobs)
+            self._waited = True
+
+    def wait(self) -> None:
+        """Join the render workers (idempotent); serial fallback when
+        any worker failed."""
+        if not self._started:
+            self.start()
+        if self._waited:
+            return
+        self._waited = True
+        ok = True
+        try:
+            for p in self._pids:
                 _, status = os.waitpid(p, 0)
                 ok = ok and status == 0
         except Exception:
@@ -276,5 +314,9 @@ class _ParallelDrawer:
         if not ok:
             logger.warning('forked PDF rendering failed; rendering '
                            'serially')
-            self._serial(jobs)
+            self._serial(self._jobs)
+
+    # backwards-compatible synchronous render
+    def close(self) -> None:
+        self.wait()
 

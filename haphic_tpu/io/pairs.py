@@ -14,10 +14,41 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
 import numpy as np
+
+_PAIRS_LIB = None
+_PAIRS_LOADED = False
+
+
+def _native_pairs():
+    """The native tokenizer library, or None (falls back to the Python
+    block tokenizer)."""
+    global _PAIRS_LIB, _PAIRS_LOADED
+    if _PAIRS_LOADED:
+        return _PAIRS_LIB
+    _PAIRS_LOADED = True
+    import ctypes
+    from haphic_tpu.utils.nativelib import load_shared
+    lib = load_shared('libpairsreader.so', ['pairs_reader.cpp'])
+    if lib is not None:
+        lib.pairs_open.restype = ctypes.c_void_p
+        lib.pairs_open.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_char_p),
+                                   ctypes.c_int64]
+        lib.pairs_next.restype = ctypes.c_int64
+        lib.pairs_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.pairs_close.restype = None
+        lib.pairs_close.argtypes = [ctypes.c_void_p]
+    _PAIRS_LIB = lib
+    return lib
 
 
 @dataclass
@@ -123,9 +154,51 @@ class PairsReader:
 
     def __iter__(self) -> Iterator[AlignChunk]:
         if self.bed_path is None:
-            yield from self._iter_fast()
+            native = None
+            if not os.environ.get('HAPHIC_NO_NATIVE_PAIRS'):
+                native = _native_pairs()
+            if native is not None:
+                yield from self._iter_native(native)
+            else:
+                yield from self._iter_fast()
             return
         yield from self._iter_lines()
+
+    def _iter_native(self, lib) -> Iterator[AlignChunk]:
+        """native/pairs_reader.cpp: one C pass over the byte stream.
+        ctypes releases the GIL during pairs_next, so under prefetch()
+        the parse overlaps the numpy link aggregation on another core
+        (~10x the Python block tokenizer's throughput)."""
+        import ctypes
+        names_b = [n.encode() for n in self.names_arr.tolist()]
+        arr_t = ctypes.c_char_p * len(names_b)
+        handle = lib.pairs_open(self.path.encode(), arr_t(*names_b),
+                                len(names_b))
+        if not handle:
+            raise RuntimeError('cannot open {}'.format(self.path))
+        cap = self.chunk_lines
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            while True:
+                ref = np.empty(cap, dtype=np.int32)
+                pos = np.empty(cap, dtype=np.int64)
+                mref = np.empty(cap, dtype=np.int32)
+                mpos = np.empty(cap, dtype=np.int64)
+                n = lib.pairs_next(
+                    handle, ref.ctypes.data_as(i32p),
+                    pos.ctypes.data_as(i64p),
+                    mref.ctypes.data_as(i32p),
+                    mpos.ctypes.data_as(i64p), cap)
+                if n < 0:
+                    raise RuntimeError(
+                        'read error in {}'.format(self.path))
+                if n == 0:
+                    break
+                yield AlignChunk(ref=ref[:n], pos=pos[:n],
+                                 mref=mref[:n], mpos=mpos[:n])
+        finally:
+            lib.pairs_close(handle)
 
     def _iter_fast(self) -> Iterator[AlignChunk]:
         """Block tokenizer: read ~16 MB of text, split it into tokens

@@ -154,6 +154,10 @@ class ClusterStageResult:
     # per-phase wall seconds (parse/ingest/filters/mcl/statistics) —
     # the profiling breakdown the bench surfaces
     timings: Dict[str, float] = field(default_factory=dict)
+    # join handle for the backgrounded statistics.pdf render workers;
+    # run_pipeline (and the standalone cluster CLI) calls this before
+    # declaring the artifacts complete
+    stat_wait: Optional[object] = None
 
 
 def cluster_stage(fasta: str, alignments: str, nchrs: int,
@@ -362,10 +366,15 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
     if clm_err:
         raise clm_err[0]
     timings['clm_wait'] = time.time() - t_w
+    stat_wait = None
     if cfg.output_statistics:
         t_st = time.time()
         from haphic_tpu.cluster.statistics import output_statistics
-        output_statistics(asm, full, sweep.cluster_sets, outdir=outdir)
+        # txt files written synchronously (the byte contract); the PDF
+        # render workers are forked here and joined by run_pipeline
+        # after the build stage — off the critical path
+        stat_wait = output_statistics(asm, full, sweep.cluster_sets,
+                                      outdir=outdir, background=True)
         timings['statistics'] = time.time() - t_st
     logger.info('Clustering stage finished in %.1fs (%s)',
                 time.time() - t0,
@@ -375,7 +384,7 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                               filtered=filtered, sweep=sweep,
                               clm_path=clm_path,
                               corrected_ctgs=corrected_ctgs,
-                              timings=timings)
+                              timings=timings, stat_wait=stat_wait)
 
 
 def _mock_quick_view_groups(asm: Assembly, gfa: Optional[str],
@@ -577,8 +586,12 @@ def build_stage(cres: ClusterStageResult, sres: SortStageResult,
     asm = cres.asm
     if asm.seqs is None:
         asm = read_fasta(fasta, RE=cfg.RE)
+    # scaffold names drop the _<len>bp suffix of the group/tour names,
+    # exactly as the reference's tour parsing does
+    # (scripts/HapHiC_build.py:37-38 rsplit('_', 1))
+    tours = {g.rsplit('_', 1)[0]: t for g, t in sres.tours.items()}
     fa, agp, raw = build_final_scaffolds(
-        sres.tours, asm, corrected_ctgs=set(cres.corrected_ctgs),
+        tours, asm, corrected_ctgs=set(cres.corrected_ctgs),
         prefix=cfg.prefix,
         Ns=cfg.Ns, max_width=cfg.max_width,
         sort_by_input=cfg.sort_by_input, outdir=outdir)
@@ -617,6 +630,10 @@ def run_pipeline(fasta: str, alignments: str, nchrs: int,
         files = build_stage(cres, sres, cfg,
                             os.path.join(outdir, '04.build'),
                             fasta, alignments)
+    if cres.stat_wait is not None:
+        t_w = time.time()
+        cres.stat_wait()
+        cres.timings['stat_wait'] = time.time() - t_w
     logger.info('Pipeline finished in %.1fs', time.time() - t0)
     return PipelineResult(cluster=cres, reassign=rres, sort=sres,
                           scaffold_files=files)
