@@ -607,7 +607,7 @@ def bench_ga(n_groups=GA_GROUPS, k=GA_K, ngen=300, npop=100):
     from haphic_tpu.sim.ga_study import simulate_group
     problems = [simulate_group(100 + g, k, pairs_per_ctg=300)[0]
                 for g in range(n_groups)]
-    log_every = 50
+    log_every = 100
 
     def run_native():
         opt.optimize_tours(problems, npop=npop, ngen=ngen, seed=1,

@@ -286,14 +286,24 @@ def run_mcl_partitions(adjacency: np.ndarray, inflations: Sequence[float],
     B = len(infl)
     per = 4 * n * n * 4
     chunk = max(1, min(B, int((6 << 30) // max(per, 1))))
-    parts = []
-    iters = np.empty((B,), dtype=np.int32)
-    conv = np.empty((B,), dtype=bool)
+    # Dispatch EVERY chunk's while-loop + bitmask pack before fetching
+    # anything: JAX dispatch is async, so the device streams through
+    # the whole sweep while the host fetches and interprets earlier
+    # inflations. The serialized fetch-then-dispatch loop cost ~3 s of
+    # host/transfer time per inflation at n=16384 (~40% of the sweep).
+    # Only the packed (n, n/8) bitmasks accumulate on device (n²/8
+    # bytes each); the (chunk, n, n) result matrices die at their pack.
+    pending = []
     for s in range(0, B, chunk):
         e = min(B, s + chunk)
         mm, ii, cc = _mcl_batched(p, jnp.asarray(infl[s:e]), expansion,
                                   max_iter, float(pruning), precision)
-        packed = np.asarray(_pack_nz(mm))
+        pending.append((s, e, _pack_nz(mm), ii, cc))
+    parts = []
+    iters = np.empty((B,), dtype=np.int32)
+    conv = np.empty((B,), dtype=bool)
+    for s, e, packed_dev, ii, cc in pending:
+        packed = np.asarray(packed_dev)
         iters[s:e] = np.asarray(ii)
         conv[s:e] = np.asarray(cc)
         for b in range(e - s):

@@ -58,6 +58,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:      # pallas optional: the XLA score path remains
+    pl = None
+    pltpu = None
+
 logger = logging.getLogger(__name__)
 
 CHUNK = 1 << 14          # max CLM records per scan step
@@ -225,10 +232,36 @@ def _bucket(n: int, base: int) -> int:
     return out
 
 
+def _record_bucket(n: int, chunk: int) -> int:
+    """Padded record count for bucketing. Small groups round to the
+    next power of two (few distinct compiled shapes); past 8192
+    records the rounding switches to quarter-octave steps (m/8 of the
+    next power of two, m in 5..8) — a pure power-of-two pad costs up
+    to 2x score work per generation (the score scan is O(npop * Rp)),
+    measured as ~45% of the round-3 device GA at R=16.8k padded to
+    32768."""
+    p = _bucket(max(n, 1), MIN_CHUNK)
+    if p <= max(chunk, 8192):
+        return p
+    q = p // 8
+    return -(-n // q) * q
+
+
+def _divisor_chunk(Rp: int, c: int) -> int:
+    """Largest scan chunk <= c that divides Rp (Rp itself when c
+    covers it): quarter-octave buckets are m * 2^k, so a power-of-two
+    divisor always exists down to MIN_CHUNK."""
+    if c >= Rp:
+        return Rp
+    d = MIN_CHUNK
+    while d * 2 <= c and Rp % (d * 2) == 0:
+        d *= 2
+    return d
+
+
 def _pad_records(p: TourProblem, chunk: int):
     R = p.n_records
-    # power-of-two number of chunks so the scan length is bucketed too
-    Rp = _bucket(max(R, 1), chunk)
+    Rp = _record_bucket(max(R, 1), chunk)
     pad = Rp - R
     pa = np.pad(p.pair_a, (0, pad))
     pb = np.pad(p.pair_b, (0, pad))
@@ -277,15 +310,23 @@ def _score_population(order, ori, lengths, pa, pb, d, w, chunk: int):
         cpa, cpb, cd, cw = xs                          # (chunk,), (4, chunk)
         oh_a = jax.nn.one_hot(cpa, k, dtype=jnp.float32)   # (chunk, k)
         oh_b = jax.nn.one_hot(cpb, k, dtype=jnp.float32)
+        # HIGHEST is required: at HIGH (3-pass bf16) the gathered
+        # start offsets pick up absolute errors of hundreds of bp,
+        # which destroys the contributions of adjacent-pair records
+        # (gap ~0, 1/max(gap,1)) — the records that drive ordering
+        # quality (measured: 3.5% total-score drift vs the exact
+        # oracle, concentrated on gap<500 records)
         ga = jnp.dot(T, oh_a.T, precision=lax.Precision.HIGHEST)
         gb = jnp.dot(T, oh_b.T, precision=lax.Precision.HIGHEST)
         pos_a, sa, oa = ga[:P], ga[P:2 * P], ga[2 * P:]    # (P, chunk)
         pos_b, sb, ob = gb[:P], gb[P:2 * P], gb[2 * P:]
+        pos_a = jnp.round(pos_a)
+        pos_b = jnp.round(pos_b)
         la = lengths[cpa][None, :]
         lb = lengths[cpb][None, :]
         a_first = pos_a < pos_b
         gap = jnp.where(a_first, sb - (sa + la), sa - (sb + lb))
-        combo = (2.0 * oa + ob).astype(jnp.int32)
+        combo = jnp.round(2.0 * oa + ob).astype(jnp.int32)
         combo = jnp.where(a_first, combo, 3 - combo)   # (P, chunk)
         dval = (jnp.where(combo == 0, cd[0][None, :], 0.0)
                 + jnp.where(combo == 1, cd[1][None, :], 0.0)
@@ -300,6 +341,153 @@ def _score_population(order, ori, lengths, pa, pb, d, w, chunk: int):
           w.reshape(nchunks, chunk))
     total, _ = lax.scan(body, jnp.zeros((P,), jnp.float32), xs)
     return total
+
+
+_SCORE_BLK = 1024
+
+
+def _use_pallas() -> bool:
+    """Pallas score kernel on real TPU backends; interpret-mode
+    elsewhere is slower than the matmul formulation, so CPU runs keep
+    the XLA path. HAPHIC_NO_PALLAS=1 forces the XLA path."""
+    if os.environ.get('HAPHIC_NO_PALLAS'):
+        return False
+    return jax.default_backend() not in ('cpu',)
+
+
+def _score_kernel(t_ref, pa_ref, pb_ref, d_ref, w_ref, o_ref):
+    """One (group, record-block) grid step of the tour score.
+
+    The tour tables live in VMEM for the whole block: rows of t_ref
+    are [pos_of (Pp) | start_of (Pp) | ori_of (Pp) | lengths (1)] by
+    contig column. The per-record gather is a one-hot matmul on the
+    MXU whose operands and results never leave VMEM — the XLA
+    formulation of the same math streamed ~0.5 GB of one-hot and
+    gather intermediates through HBM per generation, which dominated
+    the device GA (measured 13.4 ms/score at G=8, P=100, R=32k; this
+    kernel's HBM traffic is the record block itself, ~28 bytes/record).
+
+    Record blocks come tiled as (8, 128) = 1024 records (the Mosaic
+    minimum f32 tile); the 8 sublane rows ride the matmul batch
+    dimension and the per-row partial scores accumulate into an
+    (8, P) output summed outside."""
+    T = t_ref[0]                       # (rows, k) = (3*Pp+8, k)
+    rows = T.shape[0]
+    Pp = (rows - 8) // 3
+    k = T.shape[1]
+    cpa = pa_ref[0, 0]                 # (8, b8)
+    cpb = pb_ref[0, 0]
+    cd = d_ref[0, :, 0]                # (4, 8, b8)
+    cw = w_ref[0, 0]                   # (8, b8)
+    b8 = cpa.shape[1]
+    kcol = lax.broadcasted_iota(jnp.int32, (8, k, b8), 1)
+    oh_a = (kcol == cpa[:, None, :]).astype(jnp.float32)   # (8, k, 128)
+    oh_b = (kcol == cpb[:, None, :]).astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))    # T (rows,k) x oh (8,k,128)
+    # HIGHEST: the MXU default quantizes operands to bf16, which
+    # mangles the gathered start offsets by hundreds of bp — exactly
+    # the adjacent-pair records (gap ~0) that drive ordering quality
+    ga = lax.dot_general(T, oh_a, dimension_numbers=dims,
+                         precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+    gb = lax.dot_general(T, oh_b, dimension_numbers=dims,
+                         precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+    # ga: (rows, 8, 128)
+    pos_a = jnp.round(ga[0:Pp])                            # (Pp, 8, 128)
+    sa = ga[Pp:2 * Pp]
+    oa = ga[2 * Pp:3 * Pp]
+    la = ga[3 * Pp:3 * Pp + 1]                             # (1, 8, 128)
+    pos_b = jnp.round(gb[0:Pp])
+    sb = gb[Pp:2 * Pp]
+    ob = gb[2 * Pp:3 * Pp]
+    lb = gb[3 * Pp:3 * Pp + 1]
+    a_first = pos_a < pos_b
+    gap = jnp.where(a_first, sb - (sa + la), sa - (sb + lb))
+    ca = jnp.round(oa)
+    cb = jnp.round(ob)
+    # d[combo] with combo = 2*ca+cb (a first) or its complement,
+    # as fused arithmetic instead of a gather
+    d0, d1, d2, d3 = cd[0], cd[1], cd[2], cd[3]            # (8, 128)
+    swap = jnp.where(a_first, 0.0, 1.0)
+    ca2 = ca + swap - 2.0 * ca * swap  # ca XOR swap
+    cb2 = cb + swap - 2.0 * cb * swap
+    dval = (d0[None] * (1 - ca2) * (1 - cb2)
+            + d1[None] * (1 - ca2) * cb2
+            + d2[None] * ca2 * (1 - cb2)
+            + d3[None] * ca2 * cb2)
+    dist = jnp.maximum(gap + dval, 1.0)
+    contrib = (cw[None] / dist).sum(axis=2)                # (Pp, 8)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    o_ref[0] = o_ref[0] + contrib.T                        # (8, Pp)
+
+
+def _build_tables(order, ori, lengths):
+    """Per-contig tour tables for the score kernel, stacked (G, rows,
+    k): rows = [slot of contig (Pp) | start offset (Pp) |
+    orientation (Pp) | contig length (1) | zero padding (7)]."""
+    G, P, k = order.shape
+    Lf = lengths.astype(jnp.float32)                       # (G, k)
+    L_slot = jax.vmap(lambda Lg, og: Lg[og])(Lf, order)    # (G, P, k)
+    starts = jnp.cumsum(L_slot, axis=2) - L_slot
+    pos_of = jnp.argsort(order, axis=2).astype(jnp.int32)  # (G, P, k)
+    start_of = jnp.take_along_axis(starts, pos_of, axis=2)
+    ori_of = jnp.take_along_axis(ori, pos_of, axis=2)
+    T = jnp.concatenate([
+        pos_of.astype(jnp.float32), start_of,
+        ori_of.astype(jnp.float32),
+        Lf[:, None, :],
+        jnp.zeros((G, 7, k), jnp.float32)], axis=1)        # (G, 3P+8, k)
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=('blk', 'interpret'))
+def _score_stacked_pallas(order, ori, lengths, pa, pb, d, w,
+                          blk: int = _SCORE_BLK,
+                          interpret: bool = False):
+    """(G, P) scores via the Pallas kernel, grid (G, R/blk). Records
+    must pad to a multiple of 1024 (they pad to >= MIN_CHUNK=512 and
+    power-of-two/quarter-octave sizes, so any Rp >= 1024 qualifies;
+    smaller problems take the XLA path)."""
+    G, P, k = order.shape
+    R = pa.shape[1]
+    blk = min(blk, R)
+    while R % blk:
+        blk //= 2
+    nblk = R // blk
+    b8 = blk // 8
+    T = _build_tables(order, ori, lengths)
+    rows = T.shape[1]
+    pa5 = pa.reshape(G, nblk, 8, b8)
+    pb5 = pb.reshape(G, nblk, 8, b8)
+    d5 = d.reshape(G, 4, nblk, 8, b8)
+    w5 = w.reshape(G, nblk, 8, b8)
+    out = pl.pallas_call(
+        _score_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, 8, P), jnp.float32),
+        grid=(G, nblk),
+        in_specs=[
+            pl.BlockSpec((1, rows, k), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, b8), lambda g, r: (g, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, b8), lambda g, r: (g, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 1, 8, b8), lambda g, r: (g, 0, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, b8), lambda g, r: (g, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, P), lambda g, r: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(T, pa5, pb5, d5, w5)
+    return out.sum(axis=1)
 
 
 def _take_rows(vals, idx):
@@ -514,10 +702,10 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
     lengths_padded[:k] = problem.lengths
     pa, pb, d, w, Rp = _pad_records(problem, chunk)
     # largest memory-safe chunk: one scan step is markedly faster than
-    # many (see optimize_tours); always <= Rp so it divides the pad
+    # many (see optimize_tours); must divide the record pad
     cap = 1 << (max(int(4e8) // max(npop, 1),
                     MIN_CHUNK).bit_length() - 1)
-    chunk = min(Rp, max(chunk, cap))
+    chunk = _divisor_chunk(Rp, max(chunk, cap))
     lengths = jnp.asarray(lengths_padded)
     pa, pb = jnp.asarray(pa), jnp.asarray(pb)
     d, w = jnp.asarray(d), jnp.asarray(w)
@@ -672,13 +860,13 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
             Gp = -(-G // nd) * nd          # pad with dummy groups
         # scan overhead is real: scoring R=262k records in one step is
         # 2.8x faster than 16 chunked steps (52.5 -> 18.9 ms/gen
-        # measured on v5e). Run the largest power-of-two chunk the
-        # memory budget allows (intermediates scale with G*npop*chunk);
-        # Rp stays the bucket's record pad, so c_run always divides it.
+        # measured on v5e). Run the largest chunk the memory budget
+        # allows that divides the bucket's record pad (intermediates
+        # scale with G*npop*chunk).
         max_elems = int(4e8)
         cap = 1 << (max(max_elems // max(Gp * npop, 1),
                         MIN_CHUNK).bit_length() - 1)
-        c_run = min(Rp, max(c_eff, cap))
+        c_run = _divisor_chunk(Rp, max(c_eff, cap))
         lengths = np.zeros((Gp, k_pad), dtype=np.int64)
         pa = np.zeros((Gp, Rp), dtype=np.int32)
         pb = np.zeros((Gp, Rp), dtype=np.int32)

@@ -245,3 +245,27 @@ def test_optimize_tours_batched_matches_quality(backend):
         got = _canonical_tour(res.order, res.ori)
         want = _canonical_tour(true_order, true_ori[true_order])
         assert got == want
+
+
+def test_pallas_score_matches_xla():
+    """The Pallas score kernel (VMEM-resident tour tables, on-chip
+    one-hot matmuls) must reproduce the XLA scorer bit-for-bit-ish
+    (HIGHEST-precision selection on both paths). Runs in interpret
+    mode on CPU; the real-TPU path is exercised by the bench."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    G, P, k, R = 2, 6, 32, 1024
+    lengths = rng.integers(1000, 500000, (G, k)).astype(np.int64)
+    pa = rng.integers(0, k, (G, R)).astype(np.int32)
+    pb = rng.integers(0, k, (G, R)).astype(np.int32)
+    sel = pa == pb
+    pb[sel] = (pb[sel] + 1) % k
+    d = rng.integers(1, 100000, (G, 4, R)).astype(np.float32)
+    w = rng.random((G, R)).astype(np.float32)
+    order = np.stack([np.stack([rng.permutation(k).astype(np.int32)
+                                for _ in range(P)]) for _ in range(G)])
+    ori = rng.integers(0, 2, (G, P, k)).astype(np.int32)
+    args = [jnp.asarray(x) for x in (order, ori, lengths, pa, pb, d, w)]
+    ref = np.asarray(opt._score_batched(*args, R))
+    got = np.asarray(opt._score_stacked_pallas(*args, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
