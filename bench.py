@@ -150,6 +150,16 @@ SIM = dict(nchrs=8, ctgs_per_chr=250, ctg_len=20000, n_pairs=2_000_000,
 # measurement) or HAPHIC_BENCH_BIG=1.
 SIM_BIG = dict(nchrs=8, ctgs_per_chr=2000, ctg_len=20000,
                n_pairs=10_000_000, seed=23)
+# the big variant sweeps inflations 1.2-1.6 on BOTH sides: at this
+# scale and link density the reference scipy path costs ~57 s PER MCL
+# ITERATION (measured: inflation 1.1 alone = 73 iterations in 75 min),
+# so its full default 1.1-3.0 sweep is a ~9 h single measurement that
+# cannot be cached inside a round. The 1.2-1.6 band covers the
+# heaviest iterations and the region where recommendations land, and
+# the identical flags go to the reference and to run_pipeline.
+BIG_INFLATION = ('1.2', '1.6')
+BIG_FLAGS = ['--min_inflation', BIG_INFLATION[0],
+             '--max_inflation', BIG_INFLATION[1]]
 
 
 def make_sim(outdir, sim=None):
@@ -276,9 +286,14 @@ def bench_pipeline_e2e():
 
 
 def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
-                      measure_baseline=True):
+                      measure_baseline=True, extra_flags=(),
+                      inflation_range=None):
     sim = sim or SIM
     fa, pairs = make_sim(None, sim)
+    extra_flags = list(extra_flags)
+    params = dict(sim)
+    if inflation_range:
+        params['inflation'] = list(inflation_range)
 
     def run_reference():
         import refbridge
@@ -289,7 +304,7 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
         try:
             os.chdir(refdir)
             sys.argv = ['HapHiC_cluster.py', fa, pairs,
-                        str(sim['nchrs'])] + CLUSTER_FLAGS
+                        str(sim['nchrs'])] + CLUSTER_FLAGS + extra_flags
             args = mod.parse_arguments()
             mod.run(args)
         finally:
@@ -298,15 +313,19 @@ def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
             shutil.rmtree(refdir, ignore_errors=True)
 
     ent = _load_cache().get(cache_key)
-    if not measure_baseline and not (ent and ent.get('params') == sim):
+    if not measure_baseline and not (ent and ent.get('params') == params):
         return None, None, None
-    ref_s = cached_baseline(cache_key, sim, run_reference)
+    ref_s = cached_baseline(cache_key, params, run_reference)
 
     from haphic_tpu.pipeline import PipelineConfig, run_pipeline
     outdir = tempfile.mkdtemp(prefix='haphic_bench_ours_')
+    kw = {}
+    if inflation_range:
+        kw = dict(min_inflation=float(inflation_range[0]),
+                  max_inflation=float(inflation_range[1]))
     cfg = PipelineConfig(Nx=100, RE_site_cutoff=0, density_lower='0',
                          density_upper='1', rank_sum_upper='1', flank=0,
-                         steps='1')
+                         steps='1', **kw)
     t0 = time.time()
     res = run_pipeline(fa, pairs, nchrs=sim['nchrs'], cfg=cfg,
                        outdir=outdir)
@@ -686,7 +705,8 @@ def main():
     def _e2e_big():
         ref_b, ours_b, phases = bench_cluster_e2e(
             SIM_BIG, cache_key='cluster_e2e_big_ref',
-            measure_baseline=bool(os.environ.get('HAPHIC_BENCH_BIG')))
+            measure_baseline=bool(os.environ.get('HAPHIC_BENCH_BIG')),
+            extra_flags=BIG_FLAGS, inflation_range=BIG_INFLATION)
         if ref_b is not None:
             sub['cluster_e2e_16k'] = {
                 'x': round(ref_b / ours_b, 2),
