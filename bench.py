@@ -238,6 +238,30 @@ def _md5(path):
     return h.hexdigest()
 
 
+def _agp_partition_md5(path):
+    """md5 of the scaffold PARTITION (which contigs form each
+    scaffold, as an order-independent set of sets). The byte-level AGP
+    is not a stable target at this scale: the reference itself emits
+    different bytes on identical input run to run (its fast-sort path
+    direction, group numbering at length ties, and some local
+    orderings ride Python hash-randomized set/dict iteration through
+    networkx, verified with two in-round reference runs that produced
+    different md5s), while the partition is invariant across its runs
+    and is the per-chromosome correctness that clustering+reassignment
+    must get right. Byte equality on a deterministic regime is pinned
+    separately by tests/test_e2e_conformance.py."""
+    import hashlib
+    scaffolds = {}
+    with open(path) as f:
+        for line in f:
+            cols = line.rstrip('\n').split('\t')
+            if len(cols) < 9 or cols[4] != 'W':
+                continue
+            scaffolds.setdefault(cols[0], []).append(cols[5])
+    parts = sorted(sorted(v) for v in scaffolds.values())
+    return hashlib.md5(repr(parts).encode()).hexdigest()
+
+
 def bench_pipeline_e2e():
     """FULL pipeline (cluster → reassign → sort → build) vs the
     reference's own 4-stage chain driven through refbridge, identical
@@ -260,12 +284,14 @@ def bench_pipeline_e2e():
             fa, pairs, sim['nchrs'], refdir,
             cluster_flags=CLUSTER_FLAGS, reassign_flags=REASSIGN_FLAGS)
         secs = time.time() - t0
-        md5 = _md5(os.path.join(refdir, '04.build', 'scaffolds.raw.agp'))
+        raw = os.path.join(refdir, '04.build', 'scaffolds.raw.agp')
+        md5 = _md5(raw)
+        part = _agp_partition_md5(raw)
         shutil.rmtree(refdir, ignore_errors=True)
         cache = _load_cache()
         cache['pipeline_e2e_ref'] = {
             'secs': round(secs, 2), 'params': params,
-            'raw_agp_md5': md5,
+            'raw_agp_md5': md5, 'raw_agp_partition': part,
             'measured': time.strftime('%Y-%m-%d')}
         _save_cache(cache)
         ent = cache['pipeline_e2e_ref']
@@ -277,12 +303,12 @@ def bench_pipeline_e2e():
     res = run_pipeline(fa, pairs, nchrs=sim['nchrs'],
                        cfg=_our_pipeline_config(), outdir=outdir)
     ours_s = time.time() - t0
-    agp_equal = (_md5(os.path.join(outdir, '04.build',
-                                   'scaffolds.raw.agp'))
-                 == ent.get('raw_agp_md5'))
+    raw = os.path.join(outdir, '04.build', 'scaffolds.raw.agp')
+    agp_equal = _md5(raw) == ent.get('raw_agp_md5')
+    agp_part = _agp_partition_md5(raw) == ent.get('raw_agp_partition')
     phases = {k: round(v, 1) for k, v in res.cluster.timings.items()}
     shutil.rmtree(outdir, ignore_errors=True)
-    return ref_s, ours_s, phases, agp_equal
+    return ref_s, ours_s, phases, (agp_equal, agp_part)
 
 
 def bench_cluster_e2e(sim=None, cache_key='cluster_e2e_ref',
@@ -503,8 +529,12 @@ def bench_mcl_16k():
 # benchmarking it there is the honest comparison — at n=8192 the dense
 # engine wins by design and the sparse number reads as parity.
 SPARSE_BIG_N = 32768
-SPARSE_BIG_INFLATIONS = [1.7, 2.7]
-SPARSE_NAME = 'mcl_sparse_32k_i2'
+# inflation 1.2: the sweep's straggler (81 iterations at 32k, the
+# densest iterates). At high inflations scipy's CSC iterates stay thin
+# and fast (measured 75 s for [1.7, 2.7] at 32k) — the scale pain the
+# ELL engine removes is the low-inflation regime.
+SPARSE_BIG_INFLATIONS = [1.2]
+SPARSE_NAME = 'mcl_sparse_32k_i1'
 
 
 def bench_mcl_sparse(n=SPARSE_BIG_N, K=128,
@@ -690,11 +720,12 @@ def main():
             'cold_s': round(cold_s, 1), 'iters': iters}
 
     def _pipe():
-        ref_s, ours_s, phases, agp_equal = bench_pipeline_e2e()
+        ref_s, ours_s, phases, (agp_equal, agp_part) = \
+            bench_pipeline_e2e()
         sub['pipeline_e2e'] = {
             'x': round(ref_s / ours_s, 2), 'ref_cpu_s': round(ref_s, 1),
-            'device_s': round(ours_s, 1), 'agp_equal': agp_equal,
-            'phases': phases}
+            'device_s': round(ours_s, 1), 'agp_byte_equal': agp_equal,
+            'agp_partition_equal': agp_part, 'phases': phases}
 
     def _e2e():
         ref_s, ours_s, phases = bench_cluster_e2e()

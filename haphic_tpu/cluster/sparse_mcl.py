@@ -302,7 +302,10 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
     iteration cost is O(K²), and supports collapse rapidly as MCL
     concentrates, so the long convergence tail runs at a fraction of
     the initial width (entries are idx-sorted with sentinels last, so
-    shrinking is a pure slice)."""
+    shrinking is a pure slice). At most two shrink levels run, with a
+    floor of K=32: every level is a fresh XLA compile (~30 s on the
+    tunnel backend) while the late-tail compute it saves is small, so
+    unbounded shrinking made cold runs compile-bound."""
     B = infl.shape[0]
     K_full = K
     sharding = None
@@ -315,6 +318,7 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
         val = jax.device_put(val, sharding)
     active = np.ones(B, dtype=bool)
     conv_at = np.full(B, max_iter, dtype=np.int32)
+    n_shrinks = 0
     t0 = time.time()
     for it in range(1, max_iter):
         cur_chunk = min(chunk, _auto_chunk(B, K, n))
@@ -339,13 +343,14 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
             active &= ~newly
         if not active.any():
             break
-        if adapt_K and K > 16:
+        if adapt_K and K > 32 and n_shrinks < 2:
             nz = int(max_nnz)
-            newK = max(16, 1 << max(nz - 1, 1).bit_length())
+            newK = max(32, 1 << max(nz - 1, 1).bit_length())
             if newK <= K // 2:
                 logger.info('sparse MCL: support collapsed to %d, '
                             'shrinking K %d -> %d', nz, K, newK)
                 K = newK
+                n_shrinks += 1
                 idx = idx[:, :, :K]
                 val = val[:, :, :K]
                 if sharding is not None:
