@@ -146,8 +146,9 @@ SIM = dict(nchrs=8, ctgs_per_chr=250, ctg_len=20000, n_pairs=2_000_000,
            seed=17)
 # scale variant: 16k contigs / 10M pairs — the regime where the
 # reference's python ingest + scipy MCL become the bottleneck. Runs
-# only when its CPU baseline is already cached (a ~45-min one-time
-# measurement) or HAPHIC_BENCH_BIG=1.
+# only when its CPU baseline is already cached (a one-time ~4 h
+# measurement at the 1.2-1.6 inflation band, see BIG_INFLATION) or
+# HAPHIC_BENCH_BIG=1.
 SIM_BIG = dict(nchrs=8, ctgs_per_chr=2000, ctg_len=20000,
                n_pairs=10_000_000, seed=23)
 # the big variant sweeps inflations 1.2-1.6 on BOTH sides: at this
