@@ -302,10 +302,11 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
     iteration cost is O(K²), and supports collapse rapidly as MCL
     concentrates, so the long convergence tail runs at a fraction of
     the initial width (entries are idx-sorted with sentinels last, so
-    shrinking is a pure slice). At most two shrink levels run, with a
-    floor of K=32: every level is a fresh XLA compile (~30 s on the
-    tunnel backend) while the late-tail compute it saves is small, so
-    unbounded shrinking made cold runs compile-bound."""
+    shrinking is a pure slice). At most three shrink levels run (each
+    is a fresh XLA compile, ~30 s on the tunnel backend, so unbounded
+    level-by-level shrinking would make cold runs compile-bound; the
+    K=16 floor matters — the convergence tail at a K=32 floor measured
+    ~45 s slower per 32k sweep)."""
     B = infl.shape[0]
     K_full = K
     sharding = None
@@ -343,9 +344,9 @@ def _run_sweep_batch(idx0, val0, infl, n: int, K: int, chunk: int,
             active &= ~newly
         if not active.any():
             break
-        if adapt_K and K > 32 and n_shrinks < 2:
+        if adapt_K and K > 16 and n_shrinks < 3:
             nz = int(max_nnz)
-            newK = max(32, 1 << max(nz - 1, 1).bit_length())
+            newK = max(16, 1 << max(nz - 1, 1).bit_length())
             if newK <= K // 2:
                 logger.info('sparse MCL: support collapsed to %d, '
                             'shrinking K %d -> %d', nz, K, newK)
