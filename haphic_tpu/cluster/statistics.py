@@ -95,12 +95,20 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
                                         total_len)
     drawer = None
     if draw:
-        try:
-            import matplotlib  # noqa: F401 — availability probe
-            drawer = _ParallelDrawer()
-        except ImportError:
-            logger.warning('matplotlib is not installed, statistical '
-                           'plots are skipped')
+        if os.environ.get('HAPHIC_STATS_MPL'):
+            # opt-in matplotlib renderer (forked workers; see
+            # _ParallelDrawer)
+            try:
+                import matplotlib  # noqa: F401 — availability probe
+                drawer = _ParallelDrawer()
+            except ImportError:
+                logger.warning('matplotlib is not installed, '
+                               'statistical plots are skipped')
+        else:
+            # default: built-in direct PDF writer (~3 ms/figure,
+            # renders inline — no deferred workers; _pdfplot docstring)
+            from haphic_tpu.cluster._pdfplot import FastStatDrawer
+            drawer = _InlineDrawer(FastStatDrawer())
 
     nc = len(asm)
     ids_in_order = np.asarray([asm.name2id[c] for c in names_in_order])
@@ -213,6 +221,27 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
     if not background:
         drawer.wait()
     return drawer.wait
+
+
+class _InlineDrawer:
+    """Synchronous adapter with the _ParallelDrawer start()/wait()
+    surface: saves happen immediately (the fast writer is cheaper than
+    queuing them), so wait() is a no-op."""
+
+    def __init__(self, impl):
+        self._impl = impl
+
+    def save(self, outdir, panel_data) -> None:
+        self._impl.save(outdir, panel_data)
+
+    def start(self) -> None:
+        pass
+
+    def wait(self) -> None:
+        pass
+
+    def close(self) -> None:
+        self._impl.close()
 
 
 def _make_drawer():
