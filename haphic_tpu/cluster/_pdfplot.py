@@ -146,10 +146,16 @@ class _Panel:
         thousands of points."""
         if len(xs) == 0:
             return ''
-        px = np.rint(self.sx(np.asarray(xs, dtype=np.float64))
-                     * 100.0).astype(np.int64)
-        py = np.rint(to_y(np.asarray(ys, dtype=np.float64))
-                     * 100.0).astype(np.int64)
+        # values can sit far outside the axes (the ratio panel emits
+        # 1e6 sentinels); clamp to one page-size beyond the clip box so
+        # coordinates stay small for PDF viewers while the visible
+        # clipped segments are unchanged
+        px = np.clip(np.rint(self.sx(np.asarray(xs, dtype=np.float64))
+                             * 100.0), -100 * PAGE_W,
+                     200 * PAGE_W).astype(np.int64)
+        py = np.clip(np.rint(to_y(np.asarray(ys, dtype=np.float64))
+                             * 100.0), -100 * PAGE_H,
+                     200 * PAGE_H).astype(np.int64)
         it = iter(zip(px.tolist(), py.tolist()))
         x0, y0 = next(it)
         pts = '{} {} m\n'.format(x0, y0) + '\n'.join(
