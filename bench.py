@@ -668,13 +668,21 @@ def bench_ga(n_groups=GA_GROUPS, k=GA_K, ngen=300, npop=100):
                           records=[p.n_records for p in problems]),
         run_native)
 
-    # warm the compile with one real window (same shapes as the run)
+    # warm the compile with one real window (same shapes as the run),
+    # then report the median of 3 timed runs: single measurements on
+    # the shared tunnel vary ~2x run to run (measured 1.7-4.2 s for
+    # the same executable back to back)
     opt.optimize_tours(problems, npop=npop, ngen=log_every, seed=1,
                        log_every=log_every, backend='device')
-    t0 = time.time()
-    opt.optimize_tours(problems, npop=npop, ngen=ngen, seed=1,
-                       log_every=log_every, backend='device')
-    device_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        opt.optimize_tours(problems, npop=npop, ngen=ngen, seed=1,
+                           log_every=log_every, backend='device')
+        times.append(time.time() - t0)
+        if remaining() < 60:
+            break
+    device_s = sorted(times)[len(times) // 2]
     gens_per_s = n_groups * ngen / device_s
     return native_s, device_s, gens_per_s
 

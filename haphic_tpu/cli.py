@@ -33,6 +33,10 @@ def _add_cluster_args(p: argparse.ArgumentParser) -> None:
     g.add_argument('--remove_allelic_links', type=int, default=0,
                    help='ploidy; 0 disables allelic link removal')
     g.add_argument('--remove_concentrated_links', action='store_true')
+    g.add_argument('--concentration_ratio', type=float, default=10.0,
+                   help='bins holding >= this multiple of the median '
+                        'link count are deemed concentrated (the '
+                        'reference hardcodes 10)')
     g.add_argument('--concordance_ratio_cutoff', type=float, default=0.2)
     g.add_argument('--nwindows', type=int, default=50)
     g.add_argument('--max_read_pairs', type=int, default=200)

@@ -148,8 +148,11 @@ class _Panel:
             return ''
         # values can sit far outside the axes (the ratio panel emits
         # 1e6 sentinels); clamp to one page-size beyond the clip box so
-        # coordinates stay small for PDF viewers while the visible
-        # clipped segments are unchanged
+        # coordinates stay small for PDF viewers. Clamping a far-out
+        # point changes the slope of the segment crossing the clip
+        # edge, shifting the visible crossing by at most
+        # dy * box_width / clamp_distance — sub-point at these
+        # magnitudes, not exact segment clipping
         px = np.clip(np.rint(self.sx(np.asarray(xs, dtype=np.float64))
                              * 100.0), -100 * PAGE_W,
                      200 * PAGE_W).astype(np.int64)

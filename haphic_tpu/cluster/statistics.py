@@ -95,9 +95,9 @@ def output_statistics(asm: Assembly, full: COO, cluster_sets,
                                         total_len)
     drawer = None
     if draw:
-        if os.environ.get('HAPHIC_STATS_MPL'):
+        if os.environ.get('HAPHIC_STATS_MPL', '') not in ('', '0'):
             # opt-in matplotlib renderer (forked workers; see
-            # _ParallelDrawer)
+            # _ParallelDrawer); HAPHIC_STATS_MPL=0 means off
             try:
                 import matplotlib  # noqa: F401 — availability probe
                 drawer = _ParallelDrawer()

@@ -73,8 +73,15 @@ def concordance_ratios(coords: CoordPairs, lengths: np.ndarray,
 
 
 def concentration_adj_ratios(coords: CoordPairs,
-                             bin_width: int = 10000) -> np.ndarray:
-    """Vectorized cal_concentration_adj_ratio per recorded pair."""
+                             bin_width: int = 10000,
+                             concentration_ratio: float = 10.0
+                             ) -> np.ndarray:
+    """Vectorized cal_concentration_adj_ratio per recorded pair.
+    ``concentration_ratio`` is the bins-vs-median multiplier the
+    reference hardcodes to 10 (HapHiC_cluster.py:448-449: bins holding
+    >= 10x the median link count are deemed concentrated); exposed
+    here as a tuning knob (--concentration_ratio, default matches the
+    reference)."""
     n_pairs = len(coords.upair_i)
     out = np.ones(n_pairs)
     seg = np.repeat(np.arange(n_pairs), coords.counts)
@@ -101,7 +108,7 @@ def concentration_adj_ratios(coords: CoordPairs,
             lo = starts + (glens - 1) // 2
             hi = starts + glens // 2
             med[g[starts]] = (v[lo] + v[hi]) / 2.0
-        big = run_cnt >= 10 * med[run_seg]
+        big = run_cnt >= concentration_ratio * med[run_seg]
         conc_sum = np.bincount(run_seg[big], weights=run_cnt[big],
                                minlength=n_pairs)
         ratios = 1.0 - conc_sum / np.maximum(coords.counts, 1)
@@ -112,12 +119,15 @@ def concentration_adj_ratios(coords: CoordPairs,
 
 
 def apply_concentration_adjustment(full: COO, coords: CoordPairs,
-                                   max_read_pairs: int) -> COO:
+                                   max_read_pairs: int,
+                                   concentration_ratio: float = 10.0
+                                   ) -> COO:
     """full_link_dict[pair] *= adj_ratio for pairs that reached
     max_read_pairs (parity: run(), :2899-2902)."""
     if coords is None or len(coords.upair_i) == 0:
         return full
-    adj = concentration_adj_ratios(coords)
+    adj = concentration_adj_ratios(
+        coords, concentration_ratio=concentration_ratio)
     reached = coords.total_counts >= max_read_pairs
     n = int(max(full.i.max(), full.j.max())) + 1 if len(full.i) else 1
     fk = coords.upair_i[reached].astype(np.int64) * n + \

@@ -512,11 +512,12 @@ def _take_along(vals, idx):
     return out.astype(vals.dtype)
 
 
-def _mutate(key, order, ori, mutprob):
-    """One mutation per individual: swap / segment inversion / block
-    rotation / segment orientation flip, chosen uniformly; applied with
-    probability ``mutprob`` (else identity)."""
-    P, k = order.shape
+def _sample_moves(key, P, k, mutprob, local_frac=0.5):
+    """Sample one mutation per individual: (do, op, i, j, t) with
+    op in {0 swap, 1 inversion of [i,j], 2 rotation of [i,t) by j-i,
+    3 orientation flip of [i,j]}. A ``local_frac`` share of the moves
+    is local (geometric span, mean ~4): near-optimal tours need small
+    repairs far more often than global rearrangements."""
     keys = jax.random.split(key, 7)
     do = jax.random.uniform(keys[0], (P,)) < mutprob
     op = jax.random.randint(keys[1], (P,), 0, 4)
@@ -525,9 +526,7 @@ def _mutate(key, order, ori, mutprob):
     e3 = jax.random.randint(keys[4], (P,), 0, k)
     i = jnp.minimum(e1, e2)
     j = jnp.maximum(e1, e2)
-    # half the moves are local (geometric span, mean ~4): near-optimal
-    # tours need small repairs far more often than global rearrangements
-    local = jax.random.uniform(keys[5], (P,)) < 0.5
+    local = jax.random.uniform(keys[5], (P,)) < local_frac
     span = 1 + jnp.floor(
         jnp.log(1.0 - jax.random.uniform(keys[6], (P,)))
         / jnp.log(0.75)).astype(jnp.int32)
@@ -535,9 +534,19 @@ def _mutate(key, order, ori, mutprob):
     i = jnp.where(local, e1, i)
     j = jnp.where(local, jnp.maximum(j_local, e1), j)
     e3 = jnp.where(local, j, e3)
+    t = jnp.maximum(j, e3)
+    return do, op, i, j, t
+
+
+def _move_src(do, op, i, j, t, k):
+    """Slot-level source indices of one move: new[idx] = old[src[idx]],
+    plus the orientation-flip mask (inversion and op 3 flip the span).
+    Pure index arithmetic on iota masks — no dynamic shapes."""
+    P = do.shape[0]
     idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (P, k))
     ii = i[:, None]
     jj = j[:, None]
+    tt = t[:, None]
 
     # swap i <-> j
     src_swap = jnp.where(idx == ii, jj, jnp.where(idx == jj, ii, idx))
@@ -547,26 +556,37 @@ def _mutate(key, order, ori, mutprob):
     src_inv = jnp.where(in_span, ii + jj - idx, idx)
 
     # block rotation of [i, t) by (j - i): requires i <= j <= t
-    t = jnp.maximum(j, e3)[:, None]
-    span = jnp.maximum(t - ii, 1)
-    in_rot = (idx >= ii) & (idx < t)
+    span = jnp.maximum(tt - ii, 1)
+    in_rot = (idx >= ii) & (idx < tt)
     src_rot = jnp.where(in_rot, ii + (idx - ii + (jj - ii)) % span, idx)
 
     src = jnp.where(op[:, None] == 0, src_swap,
                     jnp.where(op[:, None] == 1, src_inv,
                               jnp.where(op[:, None] == 2, src_rot, idx)))
-    both = jnp.stack([order, ori], axis=1)             # (P, 2, k)
-    oh = jax.nn.one_hot(src, k, dtype=jnp.float32)
-    g = jnp.einsum('pij,pcj->pci', oh, both.astype(jnp.float32),
-                   precision=lax.Precision.HIGHEST).astype(order.dtype)
-    new_order, new_ori = g[:, 0], g[:, 1]
-    # inversion flips orientations in the span; op 3 flips span only
-    flip = ((op[:, None] == 1) & in_span) | ((op[:, None] == 3) & in_span)
-    new_ori = jnp.where(flip, 1 - new_ori, new_ori)
+    src = jnp.where(do[:, None], src, idx)
+    flip = do[:, None] & in_span & ((op[:, None] == 1) | (op[:, None] == 3))
+    return src, flip
 
-    keep = ~do
-    new_order = jnp.where(keep[:, None], order, new_order)
-    new_ori = jnp.where(keep[:, None], ori, new_ori)
+
+def _permute_tables(stacked, src):
+    """new[p, c, idx] = stacked[p, c, src[p, idx]] as a one-hot matmul
+    (see _take_rows for why gathers are avoided). Values must be exact
+    in f32 (ints < 2^24, or lengths already rounded to f32)."""
+    oh = jax.nn.one_hot(src, stacked.shape[2], dtype=jnp.float32)
+    return jnp.einsum('pij,pcj->pci', oh, stacked.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST)
+
+
+def _mutate(key, order, ori, mutprob):
+    """One mutation per individual (see _sample_moves), applied with
+    probability ``mutprob`` (else identity)."""
+    P, k = order.shape
+    do, op, i, j, t = _sample_moves(key, P, k, mutprob)
+    src, flip = _move_src(do, op, i, j, t, k)
+    both = jnp.stack([order, ori], axis=1)             # (P, 2, k)
+    g = _permute_tables(both, src).astype(order.dtype)
+    new_order, new_ori = g[:, 0], g[:, 1]
+    new_ori = jnp.where(flip, 1 - new_ori, new_ori)
     return new_order, new_ori
 
 
@@ -612,6 +632,330 @@ def _ox_crossover(key, order, ori, xoprob):
     return child, child_ori
 
 
+# ---------------------------------------------------------------------------
+# Delta-scored evolution (round-5): the score of a mutated tour is
+# recomputed from CACHED per-record endpoint state updated in closed
+# form, never by re-gathering the per-contig tables through one-hot
+# matmuls. Every mutation op (swap / inversion / rotation / flip)
+# permutes only the slots inside its span and PRESERVES THE TOTAL SPAN
+# LENGTH, so slots outside the span keep their start offsets — the new
+# (slot, start, orientation) of a record endpoint is pure arithmetic on
+# its old cached values plus five per-individual scalars read from the
+# slot-start table. This turns the per-generation cost from
+# O(P * k * R) MXU gather-matmul FLOPs into O(P * R) VPU elementwise
+# work bounded by HBM traffic over the caches (measured: the full
+# rescore was ~90% of the round-4 device GA at k=256).
+#
+# The population becomes P independent greedy hill climbers between
+# sync points (mutate -> delta rescore -> accept iff not worse); each
+# log_every window opens with ONE full-scored (mu+lambda) generation —
+# OX crossover, full rescore, top-P selection — which mixes rows,
+# restores selection pressure, and rebuilds the caches from scratch
+# (bounding f32 drift of the incrementally-updated start offsets).
+# Matches the role of allhic's GA at scripts/HapHiC_sort.py:618-642.
+# ---------------------------------------------------------------------------
+
+
+def _contrib_from_cache(posA, sA, oA, posB, sB, oB, la, lb, d, w):
+    """Per-record score contributions from cached endpoint state.
+    posA/posB int32 (P, R) slots; sA/sB INT32 (P, R) start offsets
+    (exact bp — f32 offsets carry ulp ~64 bp at chromosome scale,
+    and that rounding noise on adjacent-pair records is larger than
+    real long-range score deltas, which sent the delta hill climb
+    chasing phantoms: measured hot-start Spearman 0.54 at k=1000
+    with f32 caches, 1.0 with exact int32); oA/oB int32 (P, R)
+    orientations; la/lb int32 (R,) contig lengths; d f32 (4, R);
+    w f32 (R,). Same arithmetic as _score_population's scan body
+    (gap + orientation-combination distance, inverse) — the gap is
+    exact, only the final f32 conversion rounds, and only on
+    large-gap records whose contributions are negligible."""
+    a_first = posA < posB
+    gap = jnp.where(a_first, sB - (sA + la[None, :]),
+                    sA - (sB + lb[None, :])).astype(jnp.float32)
+    combo = 2 * oA + oB
+    combo = jnp.where(a_first, combo, 3 - combo)
+    dval = (jnp.where(combo == 0, d[0][None, :], 0.0)
+            + jnp.where(combo == 1, d[1][None, :], 0.0)
+            + jnp.where(combo == 2, d[2][None, :], 0.0)
+            + jnp.where(combo == 3, d[3][None, :], 0.0))
+    dist = jnp.maximum(gap + dval, 1.0)
+    return w[None, :] / dist
+
+
+def _build_caches(order, ori, lengths, pa, pb):
+    """Per-record endpoint caches + slot tables from the population.
+    Returns (L_slot (P,k) int32, startsx (P,k+1) int32 slot starts
+    with a total-length sentinel, posA, sA, oA, posB, sB, oB — all
+    coordinates EXACT int32, see _contrib_from_cache). One gather
+    pass per window — the cost the delta generations avoid."""
+    P, k = order.shape
+    Li = lengths.astype(jnp.int32)
+    L_slot = Li[order]                                   # (P, k)
+    startsx = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int32), jnp.cumsum(L_slot, axis=1)],
+        axis=1)                                          # (P, k+1)
+    pos_of = jnp.argsort(order, axis=1).astype(jnp.int32)
+    start_of = jnp.take_along_axis(startsx[:, :k], pos_of, axis=1)
+    ori_of = jnp.take_along_axis(ori, pos_of, axis=1)
+    posA = jnp.take(pos_of, pa, axis=1)
+    posB = jnp.take(pos_of, pb, axis=1)
+    sA = jnp.take(start_of, pa, axis=1)
+    sB = jnp.take(start_of, pb, axis=1)
+    oA = jnp.take(ori_of, pa, axis=1)
+    oB = jnp.take(ori_of, pb, axis=1)
+    return L_slot, startsx, posA, sA, oA, posB, sB, oB
+
+
+def _endpoint_update(pos, s, o, le, do, op, i, j, t, Sx, Sy, Lx, Ly, Et):
+    """Closed-form update of one record endpoint under one move.
+
+    pos/s/o: cached slot / start / orientation (P, R); le (R,) f32 the
+    endpoint contig's length. Scalars (P,): Sx/Sy = starts of slots
+    i/j, Lx/Ly = lengths at slots i/j, Et = start of slot t (total
+    span end for rotation). Derivations (all moves preserve the span's
+    total length, so slots outside are untouched):
+      swap i<->j: slot i keeps start Sx (now holds contig Y); contig X
+        lands at start Sy + Ly - Lx; middle slots shift by Ly - Lx.
+      inversion [i,j]: slot of contig c -> i + j - pos; its start ->
+        Sx + (Sy + Ly) - s - len(c); orientation flips.
+      rotation [i,t) by r=j-i: block A=[i,j) (length W = Sy - Sx)
+        moves right by t - j and +(Et - Sy); block B=[j,t) moves left
+        by j - i and -W.
+      flip [i,j]: orientation flips in the span.
+    """
+    i_ = i[:, None]
+    j_ = j[:, None]
+    t_ = t[:, None]
+    Sx_ = Sx[:, None]
+    Sy_ = Sy[:, None]
+    dL = (Ly - Lx)[:, None]
+    Ej_ = (Sy + Ly)[:, None]
+    Et_ = Et[:, None]
+    op_ = op[:, None]
+    le_ = le[None, :]
+
+    is_i = pos == i_
+    is_j = pos == j_
+    mid = (pos > i_) & (pos < j_)
+    in_ij = (pos >= i_) & (pos <= j_)
+    in_rot = (pos >= i_) & (pos < t_)
+    in_a = (pos >= i_) & (pos < j_)
+
+    # swap
+    pos_sw = jnp.where(is_i, j_, jnp.where(is_j, i_, pos))
+    s_sw = jnp.where(is_i, Sy_ + dL,
+                     jnp.where(is_j, Sx_, jnp.where(mid, s + dL, s)))
+    # inversion
+    pos_inv = jnp.where(in_ij, i_ + j_ - pos, pos)
+    s_inv = jnp.where(in_ij, Sx_ + Ej_ - s - le_, s)
+    o_inv = jnp.where(in_ij, 1 - o, o)
+    # rotation
+    pos_rot = jnp.where(in_a, pos + (t_ - j_),
+                        jnp.where(in_rot, pos - (j_ - i_), pos))
+    s_rot = jnp.where(in_a, s + (Et_ - Sy_),
+                      jnp.where(in_rot, s - (Sy_ - Sx_), s))
+    # flip
+    o_flip = jnp.where(in_ij, 1 - o, o)
+
+    pos_n = jnp.where(op_ == 0, pos_sw,
+                      jnp.where(op_ == 1, pos_inv,
+                                jnp.where(op_ == 2, pos_rot, pos)))
+    s_n = jnp.where(op_ == 0, s_sw,
+                    jnp.where(op_ == 1, s_inv,
+                              jnp.where(op_ == 2, s_rot, s)))
+    o_n = jnp.where(op_ == 1, o_inv,
+                    jnp.where(op_ == 3, o_flip, o))
+    keep = ~do[:, None]
+    return (jnp.where(keep, pos, pos_n),
+            jnp.where(keep, s, s_n),
+            jnp.where(keep, o, o_n))
+
+
+def _move_scalars(startsx, i, j, t):
+    """(Sx, Sy, Lx, Ly, Et) per individual, read from the int32
+    slot-start table through one stacked one-hot matmul. A plain f32
+    matmul would round coordinates past 2^24 and TPU point-gather
+    HLOs at these shapes carry fixed ~ms costs (see _take_rows), so
+    the int32 table rides the MXU as two exact 12-bit halves
+    (each < 2^18 for group totals < 2^30) recombined after the
+    einsum."""
+    idxs = jnp.stack([i, i + 1, j, j + 1, t], axis=1)      # (P, 5)
+    oh = jax.nn.one_hot(idxs, startsx.shape[1], dtype=jnp.float32)
+    halves = jnp.stack([(startsx >> 12).astype(jnp.float32),
+                        (startsx & 0xfff).astype(jnp.float32)], axis=1)
+    vals = jnp.einsum('psk,pck->pcs', oh, halves,
+                      precision=lax.Precision.HIGHEST)    # (P, 2, 5)
+    v = (jnp.round(vals[:, 0]).astype(jnp.int32) << 12) \
+        + jnp.round(vals[:, 1]).astype(jnp.int32)
+    Sx, Sxe, Sy, Sye, Et = (v[:, 0], v[:, 1], v[:, 2], v[:, 3],
+                            v[:, 4])
+    return Sx, Sy, Sxe - Sx, Sye - Sy, Et
+
+
+# delta windows interleave one full-scored (mu+lambda) + OX-crossover
+# generation every GA_SYNC_EVERY generations: crossover recombines
+# whole blocks across rows — the move class that fixes GLOBAL
+# arrangement, which single-move hill climbing plateaus on (measured
+# at k=200 hot, ngen=5000: sync 500 -> Spearman 0.88 / score 0.1602;
+# sync 50 -> 0.97 / 0.1736; sync 25 -> 1.0 / 0.1767, beating the
+# all-full-scored native GA's 0.1743) — and the rebuilt caches bound
+# the f32 drift of incrementally-updated start offsets.
+GA_SYNC_EVERY = int(os.environ.get('HAPHIC_GA_SYNC_EVERY', 25))
+# share of delta-generation moves drawn with a local (geometric) span
+_DELTA_LOCAL_FRAC = float(os.environ.get('HAPHIC_GA_DELTA_LOCAL', 0.5))
+# minimum relative gain for a greedy move to be accepted
+_DELTA_MIN_GAIN = float(os.environ.get('HAPHIC_GA_DELTA_MIN_GAIN', 0.0))
+
+
+def _evolve_delta_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
+                       chunk: int, ngen: int, xoprob: float = 0.3):
+    """One window: repeating cycles of [1 full-scored (mu+lambda)
+    generation (crossover + selection + cache rebuild) + cycle-1
+    delta-scored greedy generations]; returns (order, ori, scores)
+    sorted best-first."""
+    P, k = order.shape
+    Li = lengths.astype(jnp.int32)
+    la = Li[pa]
+    lb = Li[pb]
+
+    def dgen(n, state):
+        (key, order, ori, L_slot, startsx,
+         posA, sA, oA, posB, sB, oB, scores) = state
+        key, km = jax.random.split(key)
+        # always mutate: rejection handles bad moves, so an identity
+        # generation would only waste the cache traffic
+        do, op, i, j, t = _sample_moves(km, P, k, 1.1,
+                                        local_frac=_DELTA_LOCAL_FRAC)
+        Sx, Sy, Lx, Ly, Et = _move_scalars(startsx, i, j, t)
+        posA2, sA2, oA2 = _endpoint_update(
+            posA, sA, oA, la, do, op, i, j, t, Sx, Sy, Lx, Ly, Et)
+        posB2, sB2, oB2 = _endpoint_update(
+            posB, sB, oB, lb, do, op, i, j, t, Sx, Sy, Lx, Ly, Et)
+        # score the move as an explicit DELTA: unaffected records have
+        # bit-identical cached state, so their (new - old) contribution
+        # is exactly 0.0 and the sum's noise floor is set by the few
+        # affected records — comparing two full f32 sums instead hides
+        # real ~1e-6 long-range losses under ~sqrt(R)*ulp reduction
+        # noise, which turns near-neutral block moves into an accepted
+        # random walk that scrambles global order (measured: hot-start
+        # Spearman collapsed to 0.007 at k=200 with full-sum >=
+        # acceptance; the strict-delta rule restores it)
+        old_c = _contrib_from_cache(posA, sA, oA, posB, sB, oB,
+                                    la, lb, d, w)
+        new_c = _contrib_from_cache(posA2, sA2, oA2, posB2, sB2, oB2,
+                                    la, lb, d, w)
+        delta = (new_c - old_c).sum(axis=1)
+        acc = delta > _DELTA_MIN_GAIN * scores
+        new_scores = scores + delta
+        a_ = acc[:, None]
+        # slot tables follow the same move; int32 lengths ride the
+        # f32 one-hot permute as two exact 12-bit half channels (a
+        # direct f32 channel would round lengths past 2^24, and a
+        # per-generation Li[order] gather HLO costs ~ms, see
+        # _take_rows) and the start table is one int cumsum away
+        src, flip = _move_src(do, op, i, j, t, k)
+        tabs = jnp.stack([order.astype(jnp.float32),
+                          ori.astype(jnp.float32),
+                          (L_slot >> 12).astype(jnp.float32),
+                          (L_slot & 0xfff).astype(jnp.float32)], axis=1)
+        g = _permute_tables(tabs, src)
+        order2 = g[:, 0].astype(jnp.int32)
+        ori2 = g[:, 1].astype(jnp.int32)
+        ori2 = jnp.where(flip, 1 - ori2, ori2)
+        L2 = (jnp.round(g[:, 2]).astype(jnp.int32) << 12) \
+            + jnp.round(g[:, 3]).astype(jnp.int32)
+        order = jnp.where(a_, order2, order)
+        ori = jnp.where(a_, ori2, ori)
+        L_slot = jnp.where(a_, L2, L_slot)
+        startsx = jnp.concatenate(
+            [jnp.zeros((P, 1), jnp.int32),
+             jnp.cumsum(L_slot, axis=1)], axis=1)
+        posA = jnp.where(a_, posA2, posA)
+        sA = jnp.where(a_, sA2, sA)
+        oA = jnp.where(a_, oA2, oA)
+        posB = jnp.where(a_, posB2, posB)
+        sB = jnp.where(a_, sB2, sB)
+        oB = jnp.where(a_, oB2, oB)
+        scores = jnp.where(acc, new_scores, scores)
+        return (key, order, ori, L_slot, startsx,
+                posA, sA, oA, posB, sB, oB, scores)
+
+    n_cycles = max(1, ngen // max(GA_SYNC_EVERY, 2))
+    per = ngen // n_cycles                   # gens per cycle (>= 2)
+    rem = ngen - n_cycles * per              # trailing delta gens
+
+    # elitist re-seed: each cycle's full generation sorts rows
+    # best-first; the bottom half restarts from the incumbent. Rows
+    # that wandered off for many greedy generations are culled before
+    # their macro-rearrangements compound — without this, thousands of
+    # independently-accepted (strictly improving!) block moves diffuse
+    # the global arrangement the weak long-range score tail cannot
+    # anchor (measured at k=1000 hot, ngen=5000: none -> Spearman
+    # 0.66; all-rows reset -> 0.66, no diversity; HALF -> 0.9997 with
+    # a better score as well). Overridable via HAPHIC_GA_RESET.
+    reset = os.environ.get('HAPHIC_GA_RESET', 'half')
+
+    def cycle(state, _):
+        key, order, ori = state[0], state[1], state[2]
+        key, kfull = jax.random.split(key)
+        order, ori, _ = _evolve_impl(kfull, order, ori, lengths, pa, pb,
+                                     d, w, mutprob, chunk, 1, xoprob)
+        if reset != 'none':
+            h = 1 if reset == 'all' else P // 2
+            order = jnp.concatenate(
+                [order[:h], jnp.broadcast_to(order[0], (P - h, k))])
+            ori = jnp.concatenate(
+                [ori[:h], jnp.broadcast_to(ori[0], (P - h, k))])
+        L_slot, startsx, posA, sA, oA, posB, sB, oB = _build_caches(
+            order, ori, lengths, pa, pb)
+        scores = _contrib_from_cache(posA, sA, oA, posB, sB, oB,
+                                     la, lb, d, w).sum(axis=1)
+        state = (key, order, ori, L_slot, startsx,
+                 posA, sA, oA, posB, sB, oB, scores)
+        return lax.fori_loop(0, per - 1, dgen, state), None
+
+    L_slot, startsx, posA, sA, oA, posB, sB, oB = _build_caches(
+        order, ori, lengths, pa, pb)
+    scores = _contrib_from_cache(posA, sA, oA, posB, sB, oB,
+                                 la, lb, d, w).sum(axis=1)
+    state = (key, order, ori, L_slot, startsx,
+             posA, sA, oA, posB, sB, oB, scores)
+    state, _ = lax.scan(cycle, state, None, length=n_cycles)
+    state = lax.fori_loop(0, rem, dgen, state)
+    order, ori, scores = state[1], state[2], state[11]
+    top_scores, top = lax.top_k(scores, P)
+    g = _take_rows(jnp.stack([order, ori], axis=1), top)
+    return g[:, 0], g[:, 1], top_scores
+
+
+@functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))
+def _evolve_delta_batched(keys, order, ori, lengths, pa, pb, d, w,
+                          mutprob, chunk: int, ngen: int):
+    """Group-batched delta window (vmapped twin of _evolve_batched)."""
+    def one(k_, o_, r_, L_, a_, b_, d_, w_):
+        return _evolve_delta_impl(k_, o_, r_, L_, a_, b_, d_, w_,
+                                  mutprob, chunk, ngen)
+    return jax.vmap(one)(keys, order, ori, lengths, pa, pb, d, w)
+
+
+def _use_delta() -> bool:
+    """Delta-scored windows are the device default; HAPHIC_GA_NO_DELTA
+    with a truthy value falls back to full rescoring every generation
+    (A/B lever for quality studies)."""
+    return os.environ.get('HAPHIC_GA_NO_DELTA', '') in ('', '0')
+
+
+def _delta_applicable(problems) -> bool:
+    """The delta path keeps coordinates in exact int32; intermediates
+    are bounded by 2x the group's total length, so groups past 2^30 bp
+    (1.07 Gbp — larger than any published chromosome-scale Hi-C group
+    the reference reports) fall back to the full-rescore window."""
+    if not _use_delta():
+        return False
+    return all(int(p.lengths.sum()) < (1 << 30)
+               for p in problems if p.k > 1)
+
+
 def _evolve_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
                  chunk: int, ngen: int, xoprob: float = 0.3):
     """Run `ngen` generations of (mu + lambda) evolution.
@@ -649,6 +993,9 @@ def _evolve_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
 
 _evolve = functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))(
     _evolve_impl)
+
+_evolve_delta = functools.partial(
+    jax.jit, static_argnames=('chunk', 'ngen'))(_evolve_delta_impl)
 
 @functools.partial(jax.jit, static_argnames=('chunk', 'ngen'))
 def _evolve_batched(keys, order, ori, lengths, pa, pb, d, w, mutprob,
@@ -749,12 +1096,13 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
         o, r = strip(order[b], ori[b])
         return GAResult(order=o, ori=r, score=best0, history=history)
 
+    evolve = _evolve_delta if _delta_applicable([problem]) else _evolve
     done = 0
     while done < ngen:
         step = min(log_every, ngen - done)
         key, kg = jax.random.split(key)
-        order, ori, scores = _evolve(kg, order, ori, lengths, pa, pb, d, w,
-                                     mutprob, chunk, step)
+        order, ori, scores = evolve(kg, order, ori, lengths, pa, pb, d, w,
+                                    mutprob, chunk, step)
         done += step
         best = float(scores[0])
         history.append((done, best))
@@ -926,6 +1274,8 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                                        history=histories[t])
             continue
 
+        evolve_b = _evolve_delta_batched \
+            if _delta_applicable(problems) else _evolve_batched
         done = 0
         while done < ngen:
             step = min(log_every, ngen - done)
@@ -935,7 +1285,7 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 gen_keys = jax.device_put(
                     gen_keys, NamedSharding(mesh, P(axis_name, None)))
-            order_j, ori_j, scores = _evolve_batched(
+            order_j, ori_j, scores = evolve_b(
                 gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
                 mutprob, c_run, step)
             done += step

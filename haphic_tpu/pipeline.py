@@ -66,6 +66,7 @@ class PipelineConfig:
     min_region_cutoff: int = 5000
     remove_allelic_links: int = 0
     remove_concentrated_links: bool = False
+    concentration_ratio: float = 10.0
     concordance_ratio_cutoff: float = 0.2
     nwindows: int = 50
     max_read_pairs: int = 200
@@ -308,8 +309,9 @@ def cluster_stage(fasta: str, alignments: str, nchrs: int,
                                     links.frag_links.astype(np.float64))
     if cfg.remove_concentrated_links:
         from haphic_tpu.core.prune import apply_concentration_adjustment
-        full = apply_concentration_adjustment(full, links.coords,
-                                              cfg.max_read_pairs)
+        full = apply_concentration_adjustment(
+            full, links.coords, cfg.max_read_pairs,
+            concentration_ratio=cfg.concentration_ratio)
 
     filtered = filter_fragments(
         frags, flank, links.frag_links,

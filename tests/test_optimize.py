@@ -161,6 +161,71 @@ def test_hot_start_and_skip_ga(backend):
     assert np.array_equal(res.order, hot[0])
 
 
+def test_delta_endpoint_update_matches_rebuild():
+    """The closed-form per-record cache update (delta GA) must equal
+    the caches rebuilt from the mutated slot tables — exactly, for
+    every move type, composed over many generations (lengths are small
+    enough that every f32 sum is exact, so any mismatch is a formula
+    bug, not rounding)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    P, k, R = 16, 32, 300
+    lengths = jnp.asarray(rng.integers(16, 4096, size=k), jnp.int32)
+    a = rng.integers(0, k - 1, size=R)
+    b = a + rng.integers(1, k - np.maximum(a, 1), size=R).clip(1)
+    b = np.minimum(b, k - 1)
+    pa = jnp.asarray(a, jnp.int32)
+    pb = jnp.asarray(b, jnp.int32)
+    order = jnp.asarray(
+        np.stack([rng.permutation(k) for _ in range(P)]), jnp.int32)
+    ori = jnp.asarray(rng.integers(0, 2, size=(P, k)), jnp.int32)
+
+    Lf = lengths.astype(jnp.float32)
+    la, lb = Lf[pa], Lf[pb]
+    L_slot, startsx, posA, sA, oA, posB, sB, oB = opt._build_caches(
+        order, ori, lengths, pa, pb)
+    key = jax.random.PRNGKey(7)
+    for gen in range(40):
+        key, km = jax.random.split(key)
+        do, op, i, j, t = opt._sample_moves(km, P, k, 0.9)
+        Sx, Sy, Lx, Ly, Et = opt._move_scalars(startsx, i, j, t)
+        posA, sA, oA = opt._endpoint_update(
+            posA, sA, oA, la, do, op, i, j, t, Sx, Sy, Lx, Ly, Et)
+        posB, sB, oB = opt._endpoint_update(
+            posB, sB, oB, lb, do, op, i, j, t, Sx, Sy, Lx, Ly, Et)
+        src, flip = opt._move_src(do, op, i, j, t, k)
+        tabs = jnp.stack([order.astype(jnp.float32),
+                          ori.astype(jnp.float32)], axis=1)
+        g = opt._permute_tables(tabs, src)
+        order = g[:, 0].astype(jnp.int32)
+        ori = g[:, 1].astype(jnp.int32)
+        ori = jnp.where(flip, 1 - ori, ori)
+        (L_slot, startsx, posA_r, sA_r, oA_r,
+         posB_r, sB_r, oB_r) = opt._build_caches(
+            order, ori, lengths, pa, pb)
+        for got, want, name in [
+                (posA, posA_r, 'posA'), (posB, posB_r, 'posB'),
+                (oA, oA_r, 'oA'), (oB, oB_r, 'oB'),
+                (sA, sA_r, 'sA'), (sB, sB_r, 'sB')]:
+            assert np.array_equal(np.asarray(got), np.asarray(want)), \
+                'gen {}: {} diverged from table rebuild'.format(gen, name)
+
+
+def test_delta_window_matches_full_quality():
+    """The delta-scored device window must reach the same tour as the
+    full-rescore window on the order-recovery problem (quality guard
+    for the round-5 inner-loop redesign)."""
+    problem, true_order, true_ori = _sim_chromosome_problem(3)
+    res = opt.optimize_tour(problem, npop=32, ngen=600, seed=1,
+                            log_every=200, chunk=1024, backend='device')
+    scores = [s for _, s in res.history]
+    assert all(b >= a - 1e-6 for a, b in zip(scores, scores[1:]))
+    got = _canonical_tour(res.order, res.ori)
+    want = _canonical_tour(true_order, true_ori[true_order])
+    assert got == want
+
+
 def test_tour_file_format(tmp_path):
     problem, true_order, true_ori = _sim_chromosome_problem(7)
     res = opt.optimize_tour(problem, npop=8, ngen=100, log_every=50,

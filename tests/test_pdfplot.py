@@ -26,8 +26,12 @@ def _panel_data(n=500):
 
 def _load(path):
     raw = open(path, 'rb').read()
-    m = re.search(rb'stream\n(.*?)\nendstream', raw, re.S)
-    return raw, zlib.decompress(m.group(1)).decode('latin1')
+    # slice exactly /Length bytes: a non-greedy regex to 'endstream'
+    # truncates streams whose Flate bytes happen to contain it
+    m = re.search(rb'/Length (\d+)[^>]*>>\s*stream\n', raw)
+    start = m.end()
+    data = raw[start:start + int(m.group(1))]
+    return raw, zlib.decompress(data).decode('latin1')
 
 
 def test_valid_pdf_structure(tmp_path):
