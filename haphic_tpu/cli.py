@@ -518,7 +518,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Juicebox curation round-trip (pre/post)')
     pjsub = pj.add_subparsers(dest='juicer_cmd', required=True)
     pre = pjsub.add_parser('pre')
-    pre.add_argument('alignments', help='.bam or .pairs[.gz]')
+    pre.add_argument('alignments',
+                     help='.bam, .bed, .pa5 or .pairs[.gz]')
+    pre.add_argument('--file-type', dest='file_type', default=None,
+                     help='BED|BAM|BIN|PA5: override the extension '
+                          '(reference utils/juicer surface)')
     pre.add_argument('agp', help='scaffolds.raw.agp')
     pre.add_argument('fai', nargs='?', default=None,
                      help='contigs .fai (accepted for CLI compatibility)')
@@ -1002,7 +1006,8 @@ def cmd_juicer(args) -> int:
     if args.juicer_cmd == 'pre':
         juicer_pre(args.agp, args.alignments, out_prefix=args.out_prefix,
                    outdir=args.outdir, mapq=args.mapq,
-                   assembly_mode=args.assembly_mode)
+                   assembly_mode=args.assembly_mode,
+                   file_type=args.file_type)
     else:
         juicer_post(args.review_assembly, args.liftover_agp,
                     contigs_fasta=args.contigs_fasta,

@@ -261,8 +261,8 @@ def _sharded_sweep_step(mesh, axis_name: str, n: int, K: int, chunk: int,
     fn = _SHARDED_STEP_CACHE.get(key)
     if fn is not None:
         return fn
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
     spec = P(None, axis_name, None)
 
     def body(idx_l, val_l, inflations, active):

@@ -238,6 +238,15 @@ class BamReader:
     def __init__(self, path: str, names: List[str], threads: int = 4,
                  chunk_records: int = 1 << 20, min_mapq: int = 0,
                  use_native: Optional[bool] = None):
+        if path.endswith('.cram'):
+            # the reference reads CRAM for free through pysam
+            # (HapHiC_cluster.py:2862); CRAM needs the reference
+            # FASTA-backed codec htslib implements, which this
+            # self-contained reader does not — fail with the fix
+            raise RuntimeError(
+                'CRAM input is not supported: convert with '
+                "'samtools view -b -o aln.bam aln.cram' (or emit "
+                '.pairs) and rerun')
         self.path = path
         self.names = names
         self.threads = threads

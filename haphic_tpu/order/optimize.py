@@ -895,21 +895,42 @@ def _evolve_delta_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
     # a better score as well). Overridable via HAPHIC_GA_RESET.
     reset = os.environ.get('HAPHIC_GA_RESET', 'half')
 
+    def scores_of(order, ori):
+        """Row scores + caches rebuilt from slot tables — O(P*R)
+        gathers + elementwise work, NO _score_population matmuls: at
+        chromosome scale (k=2048, R~600k) one full matmul rescore
+        costs ~1.5e15 MXU FLOPs (~50 s), which would make even
+        1-in-25 sync generations dominate the window."""
+        caches = _build_caches(order, ori, lengths, pa, pb)
+        sc = _contrib_from_cache(*caches[2:], la, lb, d, w).sum(axis=1)
+        return caches, sc
+
     def cycle(state, _):
         key, order, ori = state[0], state[1], state[2]
-        key, kfull = jax.random.split(key)
-        order, ori, _ = _evolve_impl(kfull, order, ori, lengths, pa, pb,
-                                     d, w, mutprob, chunk, 1, xoprob)
+        key, k1, k2 = jax.random.split(key, 3)
+        # parent scores recomputed from caches (the incrementally
+        # delta-updated carry can lag the fresh offspring sums by
+        # ~ulp, which would bias tie-breaking at selection)
+        _, scores = scores_of(order, ori)
+        off_order, off_ori = _ox_crossover(k1, order, ori, xoprob)
+        off_order, off_ori = _mutate(k2, off_order, off_ori, mutprob)
+        _, off_scores = scores_of(off_order, off_ori)
+        all_order = jnp.concatenate([order, off_order], axis=0)
+        all_ori = jnp.concatenate([ori, off_ori], axis=0)
+        all_scores = jnp.concatenate([scores, off_scores], axis=0)
+        # stable top_k: ties favor parents, so neutral rearrangements
+        # do not drift in through the sync generation either
+        top_scores, top = lax.top_k(all_scores, P)
+        g = _take_rows(jnp.stack([all_order, all_ori], axis=1), top)
+        order, ori = g[:, 0], g[:, 1]
         if reset != 'none':
             h = 1 if reset == 'all' else P // 2
             order = jnp.concatenate(
                 [order[:h], jnp.broadcast_to(order[0], (P - h, k))])
             ori = jnp.concatenate(
                 [ori[:h], jnp.broadcast_to(ori[0], (P - h, k))])
-        L_slot, startsx, posA, sA, oA, posB, sB, oB = _build_caches(
-            order, ori, lengths, pa, pb)
-        scores = _contrib_from_cache(posA, sA, oA, posB, sB, oB,
-                                     la, lb, d, w).sum(axis=1)
+        (L_slot, startsx, posA, sA, oA, posB, sB, oB), scores = \
+            scores_of(order, ori)
         state = (key, order, ori, L_slot, startsx,
                  posA, sA, oA, posB, sB, oB, scores)
         return lax.fori_loop(0, per - 1, dgen, state), None
@@ -1200,7 +1221,21 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         _, _, _, _, Rp = _pad_records(p, c_eff)
         buckets.setdefault((k_pad, Rp, c_eff), []).append(gi)
 
-    for (k_pad, Rp, c_eff), idxs in sorted(buckets.items()):
+    # split buckets so the delta caches fit in HBM: the window keeps
+    # ~7 persistent (npop, Rp) int32/f32 arrays per group plus about
+    # as much transient (the rejected-candidate twins), so a batch of
+    # G groups costs ~56 * G * npop * Rp bytes; chromosome-scale
+    # groups (k=2048, R~600k+) run one or two per dispatch while toy
+    # buckets keep the full vmap batch.
+    mem_budget = float(os.environ.get('HAPHIC_GA_MEM_BUDGET', 8e9))
+    split = []
+    for key3, idxs in sorted(buckets.items()):
+        _, Rp_, _ = key3
+        g_max = max(1, int(mem_budget / (56.0 * npop * max(Rp_, 1))))
+        for s0 in range(0, len(idxs), g_max):
+            split.append((key3, idxs[s0:s0 + g_max]))
+
+    for (k_pad, Rp, c_eff), idxs in split:
         G = len(idxs)
         Gp = G
         if mesh is not None:

@@ -608,6 +608,8 @@ class PipelineResult:
     reassign: Optional[ReassignResult]
     sort: Optional[SortStageResult]
     scaffold_files: Optional[Tuple[str, str, str]]
+    # wall seconds per executed stage (cluster/reassign/sort/build)
+    stage_secs: Dict[str, float] = field(default_factory=dict)
 
 
 def run_pipeline(fasta: str, alignments: str, nchrs: int,
@@ -620,22 +622,30 @@ def run_pipeline(fasta: str, alignments: str, nchrs: int,
         cfg.skip_allhic = True
     os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
+    stage_secs: Dict[str, float] = {}
     cres = cluster_stage(fasta, alignments, nchrs, cfg,
                          os.path.join(outdir, '01.cluster'))
+    stage_secs['cluster'] = time.time() - t0
     rres = sres = files = None
     if '2' in cfg.steps:
+        t = time.time()
         rres = reassign_stage(cres, nchrs, cfg,
                               os.path.join(outdir, '02.reassign'))
+        stage_secs['reassign'] = time.time() - t
     if '3' in cfg.steps and rres is not None:
+        t = time.time()
         sres = sort_stage(cres, rres, cfg, os.path.join(outdir, '03.sort'))
+        stage_secs['sort'] = time.time() - t
     if '4' in cfg.steps and sres is not None:
+        t = time.time()
         files = build_stage(cres, sres, cfg,
                             os.path.join(outdir, '04.build'),
                             fasta, alignments)
+        stage_secs['build'] = time.time() - t
     if cres.stat_wait is not None:
         t_w = time.time()
         cres.stat_wait()
         cres.timings['stat_wait'] = time.time() - t_w
     logger.info('Pipeline finished in %.1fs', time.time() - t0)
     return PipelineResult(cluster=cres, reassign=rres, sort=sres,
-                          scaffold_files=files)
+                          scaffold_files=files, stage_secs=stage_secs)

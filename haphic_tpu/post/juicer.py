@@ -110,14 +110,118 @@ def self_len(agp: AgpIndex, t: int) -> int:
     return int(agp.seg_raw_end[agp.seg_ctg == c].max())
 
 
+def _link_file_type(path: str, file_type: Optional[str] = None) -> str:
+    """Input-mode dispatch matching the reference binary's surface
+    (reference utils/juicer pre accepts BED|BAM|BIN|PA5 with
+    --file-type overriding the extension); '.pairs[.gz]' is accepted
+    additionally (the format the rest of this pipeline emits)."""
+    if file_type:
+        t = file_type.lower()
+        if t not in ('bed', 'bam', 'bin', 'pa5', 'pairs'):
+            raise RuntimeError('unknown --file-type ' + file_type)
+        return t
+    base = path[:-3] if path.endswith('.gz') else path
+    for ext in ('bam', 'bed', 'pa5', 'bin'):
+        if base.endswith('.' + ext):
+            return ext
+    if base.endswith('.pairs'):
+        return 'pairs'
+    raise RuntimeError(
+        'unknown link file format for {}: extension .bam, .bed, .pa5, '
+        '.bin or .pairs expected (or pass file_type)'.format(path))
+
+
+class _TextLinkReader:
+    """Chunked reader for the juicer pre text link formats.
+
+    * ``pa5``: 5 columns ``read ctg1 pos1 ctg2 pos2`` (1-based
+      positions, '#' comments), the minimal pairs flavor the
+      reference binary calls PA5.
+    * ``bed``: bedtools-bamtobed output — one line per read,
+      ``ctg start end name [score strand]``; mates are CONSECUTIVE
+      lines (read1 then read2). The 5' position is used (start+1 on
+      '+', end on '-'; start+1 when no strand column).
+
+    Yields AlignChunk-compatible batches (0-based positions, contig
+    ids resolved against ``names``; -1 = unknown contig).
+    """
+
+    def __init__(self, path: str, names, fmt: str,
+                 chunk_size: int = 1 << 18):
+        self.path = path
+        self.fmt = fmt
+        self.chunk = chunk_size
+        self.id_of = {n: i for i, n in enumerate(names)}
+
+    def _open(self):
+        if self.path.endswith('.gz'):
+            import gzip
+            return gzip.open(self.path, 'rt')
+        return open(self.path)
+
+    def __iter__(self):
+        from haphic_tpu.io.pairs import AlignChunk
+        id_of = self.id_of
+        ref, pos, mref, mpos = [], [], [], []
+        pend = None                     # pending BED mate
+        with self._open() as f:
+            for line in f:
+                if not line or line[0] == '#':
+                    continue
+                cols = line.split()
+                if self.fmt == 'pa5':
+                    if len(cols) < 5:
+                        raise RuntimeError(
+                            'malformed PA5 line (5 columns expected): '
+                            + line.strip()[:80])
+                    ref.append(id_of.get(cols[1], -1))
+                    pos.append(int(cols[2]) - 1)
+                    mref.append(id_of.get(cols[3], -1))
+                    mpos.append(int(cols[4]) - 1)
+                else:
+                    if len(cols) < 4:
+                        raise RuntimeError(
+                            'malformed BED line (4+ columns expected): '
+                            + line.strip()[:80])
+                    strand = cols[5] if len(cols) > 5 else '+'
+                    p = (int(cols[2]) - 1 if strand == '-'
+                         else int(cols[1]))
+                    rec = (id_of.get(cols[0], -1), p)
+                    if pend is None:
+                        pend = rec
+                        continue
+                    ref.append(pend[0])
+                    pos.append(pend[1])
+                    mref.append(rec[0])
+                    mpos.append(rec[1])
+                    pend = None
+                if len(ref) >= self.chunk:
+                    yield AlignChunk(np.asarray(ref, np.int32),
+                                     np.asarray(pos, np.int64),
+                                     np.asarray(mref, np.int32),
+                                     np.asarray(mpos, np.int64))
+                    ref, pos, mref, mpos = [], [], [], []
+        if pend is not None:
+            raise RuntimeError('odd number of BED records: every read '
+                               'pair needs two consecutive lines')
+        if ref:
+            yield AlignChunk(np.asarray(ref, np.int32),
+                             np.asarray(pos, np.int64),
+                             np.asarray(mref, np.int32),
+                             np.asarray(mpos, np.int64))
+
+
 def juicer_pre(agp_path: str, alignments: str, out_prefix: str = 'out_JBAT',
                outdir: str = '.', mapq: int = 1,
                assembly_mode: bool = True, threads: int = 8,
-               log_path: Optional[str] = None) -> str:
+               log_path: Optional[str] = None,
+               file_type: Optional[str] = None) -> str:
     """Emit juicer_tools 'short'-format pairs in assembly coordinates.
 
     Returns the pairs txt path. Logs 'PRE_C_SIZE: assembly <total>'
     (juicebox.sh greps this for the chrom.sizes of juicer_tools pre).
+    ``file_type`` mirrors the reference binary's --file-type
+    (BED|BAM|BIN|PA5, extension-inferred otherwise).
     """
     agp = parse_agp(agp_path)
     space = AssemblySpace(agp)
@@ -129,10 +233,21 @@ def juicer_pre(agp_path: str, alignments: str, out_prefix: str = 'out_JBAT',
 
     names = sorted(agp.ctg_names)
     remap = np.asarray([agp.ctg_id[c] for c in names], np.int64)
-    if alignments.endswith('.bam'):
+    fmt = _link_file_type(alignments, file_type)
+    if fmt == 'bam':
         from haphic_tpu.io.bam import BamReader
         reader = BamReader(alignments, names, threads=threads,
                            min_mapq=mapq)
+    elif fmt in ('bed', 'pa5'):
+        reader = _TextLinkReader(alignments, names, fmt)
+    elif fmt == 'bin':
+        # YaHS's .bin is its scaffolder's private intermediate dump;
+        # nothing else in this toolchain produces one. Match the
+        # reference binary's surface with an actionable error.
+        raise RuntimeError(
+            'BIN link files are a YaHS-internal intermediate and are '
+            'not supported here; pass the original .bam/.bed/.pa5/'
+            '.pairs alignments instead')
     else:
         from haphic_tpu.io.pairs import PairsReader
         reader = PairsReader(alignments, names)

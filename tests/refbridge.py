@@ -128,7 +128,8 @@ def load(module_name):
 def run_reference_pipeline(fa, alignments, nchrs, workdir,
                            cluster_flags=(), reassign_flags=(),
                            skip_allhic=True, processes=2,
-                           ngen=5000, npop=100, seed=42):
+                           ngen=5000, npop=100, seed=42,
+                           stage_times=None):
     """Drive the reference's FULL pipeline in-process: cluster →
     reassign → sort → build, each through its own standalone
     parse_arguments()/run() (the same stage chaining
@@ -146,6 +147,14 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
     """
     import glob
     import re
+    import time as _time
+
+    def _mark(name, t0, _st=stage_times):
+        if _st is not None:
+            _st[name] = round(_time.time() - t0, 2)
+        return _time.time()
+
+    _t = _time.time()
     cluster = load('HapHiC_cluster')
     reassign = load('HapHiC_reassign')
     sort_mod = load('HapHiC_sort')
@@ -169,6 +178,7 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
                 if m:
                     inflation = m.group(1)
         os.chdir('..')
+        _t = _mark('cluster', _t)
         if inflation is None:
             raise RuntimeError('reference recommended no inflation')
         links = os.path.abspath('01.cluster/full_links.pkl')
@@ -185,6 +195,7 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
         args = reassign.parse_arguments()
         reassign.run(args, log_file='HapHiC_reassign.log')
         os.chdir('..')
+        _t = _mark('reassign', _t)
         clm_dir = os.path.abspath('02.reassign/split_clms')
         groups = sorted(glob.glob(os.path.abspath(
             '02.reassign/final_groups/group*.txt')))
@@ -211,6 +222,7 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
         finally:
             os.path.exists = real_exists
         os.chdir('..')
+        _t = _mark('sort', _t)
         tours = sorted(glob.glob(os.path.abspath(
             '03.sort/final_tours/*.tour')))
 
@@ -220,6 +232,7 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
         args = build.parse_arguments()
         build.run(args, log_file='HapHiC_build.log')
         os.chdir('..')
+        _mark('build', _t)
         return inflation
     finally:
         os.chdir(cwd)

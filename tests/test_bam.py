@@ -81,3 +81,15 @@ def test_unknown_contigs_skipped(tmp_path):
     got = _collect(BamReader(path, sub, use_native=False), sub)
     expected = [t for t in truth if t[0] != 'ctgC' and t[2] != 'ctgC']
     assert got == expected
+
+
+def test_cram_is_rejected_with_conversion_hint(tmp_path):
+    """CRAM decoding needs htslib's reference-backed codec; the error
+    must say how to convert (reference reads CRAM via pysam,
+    HapHiC_cluster.py:2862)."""
+    import pytest
+    from haphic_tpu.io.bam import BamReader
+    p = tmp_path / 'aln.cram'
+    p.write_bytes(b'CRAM')
+    with pytest.raises(RuntimeError, match='samtools view -b'):
+        BamReader(str(p), ['ctg1'])

@@ -191,3 +191,72 @@ def test_native_juicer_matches_python(scaffolded):
         (py_dir / 'out_JBAT.FINAL.agp').read_bytes()
     assert (c_dir / 'out_JBAT.FINAL.fa').read_bytes() == \
         (py_dir / 'out_JBAT.FINAL.fa').read_bytes()
+
+
+def test_pre_pa5_and_bed_match_pairs(scaffolded, tmp_path):
+    """The PA5 and BED input modes (reference utils/juicer pre surface:
+    BED|BAM|BIN|PA5) must produce the identical short-format output as
+    the .pairs mode for the same read pairs."""
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    base = juicer_pre(raw_agp, pairs, outdir=str(tmp),
+                      out_prefix='from_pairs')
+    # rewrite the pairs as .pa5 (read ctg1 pos1 ctg2 pos2) and as
+    # bamtobed-style BED (two consecutive per-mate lines, + strand:
+    # 5' position = start+1 = the pairs position)
+    pa5 = tmp_path / 'links.pa5'
+    bed = tmp_path / 'links.bed'
+    with open(pairs) as f, open(pa5, 'w') as f5, open(bed, 'w') as fb:
+        for line in f:
+            if line.startswith('#'):
+                continue
+            r, a, pa_, b, pb_ = line.split()[:5]
+            f5.write('\t'.join([r, a, pa_, b, pb_]) + '\n')
+            fb.write('{}\t{}\t{}\t{}/1\t60\t+\n'.format(
+                a, int(pa_) - 1, int(pa_) + 49, r))
+            fb.write('{}\t{}\t{}\t{}/2\t60\t+\n'.format(
+                b, int(pb_) - 1, int(pb_) + 49, r))
+    got5 = juicer_pre(raw_agp, str(pa5), outdir=str(tmp),
+                      out_prefix='from_pa5')
+    gotb = juicer_pre(raw_agp, str(bed), outdir=str(tmp),
+                      out_prefix='from_bed')
+    want = open(base).read()
+    assert open(got5).read() == want and len(want) > 0
+    assert open(gotb).read() == want
+
+
+def test_pre_bed_minus_strand_uses_end(scaffolded, tmp_path):
+    """BED '-'-strand records map through their 5' end (the interval
+    end), not the interval start."""
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    bed = tmp_path / 'one.bed'
+    with open(bed, 'w') as f:
+        f.write('{}\t10\t60\tr0/1\t60\t-\n'.format(names[0]))
+        f.write('{}\t5\t55\tr0/2\t60\t+\n'.format(names[1]))
+    eq = tmp_path / 'one.pairs'
+    with open(eq, 'w') as f:
+        f.write('## pairs format v1.0\n')
+        f.write('r0\t{}\t60\t{}\t6\t+\t+\n'.format(names[0], names[1]))
+    got = juicer_pre(raw_agp, str(bed), outdir=str(tmp),
+                     out_prefix='bed_minus')
+    want = juicer_pre(raw_agp, str(eq), outdir=str(tmp),
+                      out_prefix='pairs_minus')
+    assert open(got).read() == open(want).read() != ''
+
+
+def test_pre_bin_is_rejected_with_guidance(scaffolded, tmp_path):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    binf = tmp_path / 'links.bin'
+    binf.write_bytes(b'\x00' * 16)
+    with pytest.raises(RuntimeError, match='not supported'):
+        juicer_pre(raw_agp, str(binf), outdir=str(tmp))
+    # --file-type overrides the extension, as in the reference binary
+    with pytest.raises(RuntimeError, match='not supported'):
+        juicer_pre(raw_agp, pairs, outdir=str(tmp), file_type='bin')
+
+
+def test_pre_unknown_extension_rejected(scaffolded, tmp_path):
+    tmp, fa, ctgs, names, raw_agp, pairs, tours = scaffolded
+    odd = tmp_path / 'links.dat'
+    odd.write_text('x\n')
+    with pytest.raises(RuntimeError, match='unknown link file format'):
+        juicer_pre(raw_agp, str(odd), outdir=str(tmp))

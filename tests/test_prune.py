@@ -132,6 +132,28 @@ def test_concentration_ratio_parity():
         assert got[t] == pytest.approx(expected)
 
 
+def test_concentration_ratio_knob():
+    """--concentration_ratio tunes the bins-vs-median multiplier the
+    reference hardcodes to 10 (HapHiC_cluster.py:448-449): lowering it
+    marks more bins concentrated, so adj ratios can only drop; an
+    enormous cutoff disables the adjustment entirely (ratio 1.0)."""
+    rng = random.Random(5)
+    recs = []
+    for _ in range(100):
+        recs.append((0, 1, 50000 + rng.randrange(0, 3000),
+                     rng.randrange(1, 300000)))
+    asm = _make_asm(['c0', 'c1'], [300000, 300000])
+    coords = _coords_from_records(recs, asm, 200)
+    default = prune.concentration_adj_ratios(coords)
+    same = prune.concentration_adj_ratios(coords, concentration_ratio=10.0)
+    loose = prune.concentration_adj_ratios(coords, concentration_ratio=2.0)
+    off = prune.concentration_adj_ratios(coords, concentration_ratio=1e9)
+    assert np.array_equal(default, same)
+    assert (loose <= default + 1e-12).all()
+    assert (off == 1.0).all()
+    assert loose[0] < off[0]
+
+
 @pytest.mark.parametrize('ploidy', [2, 4])
 def test_remove_allelic_parity(ploidy):
     ref = refbridge.load('HapHiC_cluster')
