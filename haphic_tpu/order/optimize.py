@@ -805,6 +805,9 @@ GA_SYNC_EVERY = int(os.environ.get('HAPHIC_GA_SYNC_EVERY', 25))
 _DELTA_LOCAL_FRAC = float(os.environ.get('HAPHIC_GA_DELTA_LOCAL', 0.5))
 # minimum relative gain for a greedy move to be accepted
 _DELTA_MIN_GAIN = float(os.environ.get('HAPHIC_GA_DELTA_MIN_GAIN', 0.0))
+# additional per-slot-of-span relative gain requirement (see dgen)
+_DELTA_SPAN_GAIN = float(os.environ.get('HAPHIC_GA_DELTA_SPAN_GAIN',
+                                        2e-6))
 
 
 def _evolve_delta_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
@@ -845,7 +848,17 @@ def _evolve_delta_impl(key, order, ori, lengths, pa, pb, d, w, mutprob,
         new_c = _contrib_from_cache(posA2, sA2, oA2, posB2, sB2, oB2,
                                     la, lb, d, w)
         delta = (new_c - old_c).sum(axis=1)
-        acc = delta > _DELTA_MIN_GAIN * scores
+        # span-proportional acceptance threshold: a large inversion or
+        # rotation is score-NEUTRAL in its interior (internal pair
+        # contributions are exactly invariant), so an ordering-wrecking
+        # macro move rides on an epsilon boundary gain — and its exact
+        # reverting span is almost never re-proposed (P ~ 1/(4k^2) per
+        # row-generation). Charging each move ~spanlen * 2e-6 of the
+        # current score rejects those while local repairs (span ~4,
+        # gains >= 1e-4 of score) pass untouched.
+        spanv = jnp.where(op == 2, t - i, j - i).astype(jnp.float32)
+        thr = scores * (_DELTA_MIN_GAIN + _DELTA_SPAN_GAIN * spanv)
+        acc = delta > thr
         new_scores = scores + delta
         a_ = acc[:, None]
         # slot tables follow the same move; int32 lengths ride the
