@@ -22,18 +22,31 @@ scaffolds.raw.agp equality checked against the reference run's md5.
 Submetrics:
 
   pipeline_e2e      the headline: all 4 stages, n~2000 frags / 2M read
-                    pairs, with the cluster stage's phase breakdown
-  cluster_e2e_16k   the cluster stage at 16k frags / 10M pairs -- the
-                    regime where the reference's python ingest + scipy
-                    MCL dominate (ref baseline is a one-time ~1 h
-                    measurement cached in bench_baselines.json)
-  mcl_sparse_32k_i2 sparse top-K ELL sweep at n=32768 -- PAST the
+                    pairs, with the cluster stage's phase breakdown,
+                    hash-seed determinism evidence (the cached
+                    pipeline_determinism probe results) and a
+                    byte-equality check on a hash-stable regime
+  pipeline_e2e_16k  ALL 4 stages at 16k frags / 10M pairs with the
+                    device GA ON, vs the reference's own chained
+                    4-stage run (one-time ~4.3 h measurement via
+                    .bench_sim/measure_chain.py, cached with per-stage
+                    walls); also yields cluster_e2e_16k from the
+                    stage split
+  cluster_e2e_16k   the cluster stage at 16k frags / 10M pairs (from
+                    the pipeline_e2e_16k stage split, or the legacy
+                    cached cluster-only baseline as fallback)
+  mcl_sparse_32k_i1 sparse top-K ELL sweep at n=32768 -- PAST the
                     single-chip dense-HBM boundary, the regime the
                     sparse engine exists for -- vs the reference scipy
                     formulation, same matrix + inflations; the hot
                     rerun is the engine speed
+  mcl_sparse_262k   Ginkgo scale (261,820 contigs in the reference's
+                    published table): steady-state per-iteration rate
+                    at n=262,144 vs a LABELED partial scipy baseline
+                    (one measured iteration; full sweeps cost hours)
   ga_8x256          batched device GA (8 groups x 256 contigs) vs the
-                    native C++ GA (the allhic stand-in)
+                    native C++ GA (the allhic stand-in); median of 3
+                    timed runs
   cluster_e2e       cluster stage at the small sim (phase breakdown)
   bam_ingest        native BGZF/BAM reader + aggregation vs the pure-
                     Python decoder (pysam is not installed here)
@@ -43,9 +56,13 @@ Submetrics:
   tpu_integration   HAPHIC_TEST_TPU=1 pytest of the on-device quick
                     start (continuously verifies the README claim)
 
-A required-set check (pipeline_e2e, cluster_e2e_16k, sparse hot, ga)
-prefixes the headline unit with INCOMPLETE(...) when any of them is
-missing or cold-only, so a budget-starved run is visibly incomplete.
+Hot kernels carry a utilization line (mfu / cand_per_s / hbm_util; see
+docs/TPU_RUNS.md "roofline notes" for the accounting conventions).
+
+A required-set check (pipeline_e2e, pipeline_e2e_16k, cluster_e2e_16k,
+sparse hot, ga) prefixes the headline unit with INCOMPLETE(...) when
+any of them is missing or cold-only, so a budget-starved run is
+visibly incomplete.
 
 CPU baselines are measured IN FULL (no extrapolation) and cached in
 bench_baselines.json with their parameters; delete the file to force
