@@ -550,7 +550,7 @@ def bench_pipeline_16k():
     fa, pairs = make_sim(None, SIM_BIG)
     from haphic_tpu.assign.reassign import ReassignParams
     from haphic_tpu.pipeline import PipelineConfig, run_pipeline
-    ngen = int(os.environ.get('HAPHIC_BENCH_16K_NGEN', 1000))
+    ngen = int(os.environ.get('HAPHIC_BENCH_16K_NGEN', 300))
     cfg = PipelineConfig(
         Nx=100, RE_site_cutoff=0, density_lower='0', density_upper='1',
         rank_sum_upper='1', flank=0, steps='1234', skip_allhic=False,
@@ -597,24 +597,37 @@ def bench_mcl_262k():
                         (np.concatenate([i, j, np.arange(n)]),
                          np.concatenate([j, i, np.arange(n)]))),
                        shape=(n, n)).tocsc().astype(np.float32)
+        # reproduce the reference loop exactly for 2 iterations at
+        # inflation 1.7 and time iteration 1 — the REPRESENTATIVE
+        # repeated iteration (iteration 0 has no SpGEMM; every later
+        # one is expand @ expand + inflate + prune)
         t0 = time.time()
         base = normalize(m, norm='l1', axis=0)
         base = base @ base          # the shared pre-expansion
         pre_s = time.time() - t0
-        t0 = time.time()            # first inflation-1.7 iteration
-        it1 = normalize(base.power(1.7), norm='l1', axis=0)
-        it1 = it1.multiply(it1 >= PRUNING).tocsc()
+        matrix = base.copy()
+        matrix = _ref_prune(normalize(matrix.power(1.7), norm='l1',
+                                      axis=0))
+        it0_nnz = int(matrix.nnz)
+        t0 = time.time()
+        matrix = matrix @ matrix
+        spgemm_s = time.time() - t0
+        matrix = _ref_prune(normalize(matrix.power(1.7), norm='l1',
+                                      axis=0))
         iter_s = time.time() - t0
         ent = {'pre_expand_s': round(pre_s, 1),
                'first_iter_s': round(iter_s, 1),
-               'label': 'PARTIAL scipy baseline: one measured '
-                        'iteration; full sweeps at this n cost hours',
+               'spgemm_s': round(spgemm_s, 1),
+               'iterate_nnz': it0_nnz,
+               'label': 'PARTIAL scipy baseline: one representative '
+                        'iteration (SpGEMM + inflate + prune); full '
+                        'sweeps at this n cost hours',
                'params': dict(n=n, nnz=int(len(w))),
                'measured': time.strftime('%Y-%m-%d')}
         cache = _load_cache()
         cache[key] = ent
         _save_cache(cache)
-        del m, base, it1
+        del m, base, matrix
     # two bursts: the first pays the XLA compiles, the second (same
     # shapes, same process) measures the steady-state per-iteration
     # rate — the honest twin of the partial scipy baseline, which is
@@ -708,27 +721,33 @@ def cpu_reference_sweep_coo(i, j, w, n, inflations=INFLATIONS):
     _cpu_sweep(m, inflations)
 
 
+def _ref_prune(matrix):
+    """The reference's MCL prune step (scripts/HapHiC_cluster.py
+    prune path: threshold + per-column argmax keep + l1 normalize)."""
+    from scipy.sparse import csc_matrix, dok_matrix
+    from sklearn.preprocessing import normalize
+    if matrix.nnz / matrix.shape[0] ** 2 < 0.05:
+        pruned = dok_matrix(matrix.shape, dtype=np.float32)
+        boolm = matrix >= PRUNING
+        pruned[boolm] = matrix[boolm]
+        pruned = pruned.tocsc()
+    else:
+        pruned = matrix.toarray()
+        pruned[pruned < PRUNING] = 0
+        pruned = csc_matrix(pruned)
+    ncols = matrix.shape[1]
+    cols = np.arange(ncols)
+    rows = np.asarray(matrix.argmax(axis=0)).reshape(ncols)
+    pruned[rows, cols] = matrix[rows, cols]
+    return normalize(pruned, norm='l1', axis=0)
+
+
 def _cpu_sweep(base_csc, inflations):
     """The reference's serial scipy MCL sweep
     (scripts/HapHiC_cluster.py:1987-2062 without sparse_dot_mkl)."""
-    from scipy.sparse import csc_matrix, dok_matrix
     from sklearn.preprocessing import normalize
 
-    def prune(matrix):
-        if matrix.nnz / matrix.shape[0] ** 2 < 0.05:
-            pruned = dok_matrix(matrix.shape, dtype=np.float32)
-            boolm = matrix >= PRUNING
-            pruned[boolm] = matrix[boolm]
-            pruned = pruned.tocsc()
-        else:
-            pruned = matrix.toarray()
-            pruned[pruned < PRUNING] = 0
-            pruned = csc_matrix(pruned)
-        ncols = matrix.shape[1]
-        cols = np.arange(ncols)
-        rows = np.asarray(matrix.argmax(axis=0)).reshape(ncols)
-        pruned[rows, cols] = matrix[rows, cols]
-        return normalize(pruned, norm='l1', axis=0)
+    prune = _ref_prune
 
     base = normalize(base_csc, norm='l1', axis=0)
     base = base @ base
