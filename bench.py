@@ -808,16 +808,14 @@ def bench_mcl_16k():
         'mcl_sparse_cpu_n{}_i{}'.format(n, len(SPARSE_INFLATIONS)),
         dict(n=n, inflations=SPARSE_INFLATIONS, max_iter=MAX_ITER),
         lambda: cpu_reference_sweep_coo(i, j, w, n, SPARSE_INFLATIONS))
-    m = coo_matrix((np.concatenate([w, w, np.ones(n)]),
-                    (np.concatenate([i, j, np.arange(n)]),
-                     np.concatenate([j, i, np.arange(n)]))),
-                   shape=(n, n)).toarray().astype(np.float32)
+    coo = (i, j, w, n)
     t0 = time.time()
-    run_mcl_partitions(m, SPARSE_INFLATIONS, max_iter=MAX_ITER)
+    run_mcl_partitions(None, SPARSE_INFLATIONS, max_iter=MAX_ITER,
+                       coo=coo)
     cold_s = time.time() - t0
     t0 = time.time()
-    parts, iters, conv = run_mcl_partitions(m, SPARSE_INFLATIONS,
-                                            max_iter=MAX_ITER)
+    parts, iters, conv = run_mcl_partitions(None, SPARSE_INFLATIONS,
+                                            max_iter=MAX_ITER, coo=coo)
     device_s = time.time() - t0
     return cpu_s, device_s, cold_s, int(iters.sum())
 

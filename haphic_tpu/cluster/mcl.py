@@ -200,6 +200,32 @@ def _bucket_pad(m: int) -> int:
     return p if p <= 8192 else n
 
 
+@functools.partial(jax.jit, static_argnames=('n', 'm'))
+def _densify_coo(ci, cj, cw, n: int, m: int):
+    """Symmetric dense adjacency with self loops, built ON DEVICE from
+    the upper-triangle COO: the host->device upload becomes O(nnz)
+    (~12 MB at n=16384) instead of the n^2 f32 matrix (1 GB, which
+    cost ~10-15 s of every hot sweep over the tunnel link). Twin of
+    sweep.build_adjacency (reference dict_to_matrix with self loops);
+    n is the padded size, m the real fragment count (pad rows stay
+    zero, diag included)."""
+    a = jnp.zeros((n, n), jnp.float32)
+    cw = cw.astype(jnp.float32)
+    a = a.at[ci, cj].add(cw)
+    a = a.at[cj, ci].add(cw)
+    d = jnp.arange(m)
+    return a.at[d, d].add(1.0)
+
+
+def _coo_to_dense_np(ci, cj, cw, m):
+    """Host twin of _densify_coo (for the numpy small-n path)."""
+    a = np.zeros((m, m), np.float32)
+    np.add.at(a, (ci, cj), cw.astype(np.float32))
+    np.add.at(a, (cj, ci), cw.astype(np.float32))
+    np.fill_diagonal(a, a.diagonal() + 1.0)
+    return a
+
+
 def run_mcl(adjacency: np.ndarray, inflations: Sequence[float],
             expansion: int = 2, max_iter: int = 200, pruning: float = 1e-4,
             precision: str = 'high',
@@ -261,17 +287,29 @@ def _pack_nz(m: jnp.ndarray) -> jnp.ndarray:
     return (nz * weights).sum(axis=-1).astype(jnp.uint8)
 
 
-def run_mcl_partitions(adjacency: np.ndarray, inflations: Sequence[float],
+def run_mcl_partitions(adjacency: Optional[np.ndarray],
+                       inflations: Sequence[float],
                        expansion: int = 2, max_iter: int = 200,
                        pruning: float = 1e-4, precision: str = 'high',
-                       device_min_n: Optional[int] = None):
+                       device_min_n: Optional[int] = None,
+                       coo=None):
     """Inflation sweep returning per-inflation cluster partitions
     (lists as interpret_result) plus (n_iters, converged) — without
     ever transferring the dense (B, n, n) result to the host: only the
-    packed nonzero bitmask crosses the wire."""
-    m = adjacency.shape[0]
+    packed nonzero bitmask crosses the wire.
+
+    ``coo``: optional (ci, cj, cw, m) upper-triangle links — the
+    matrix is then densified ON DEVICE (see _densify_coo) and
+    ``adjacency`` may be None."""
+    if coo is not None:
+        ci, cj, cw, m = coo
+        m = int(m)
+    else:
+        m = adjacency.shape[0]
     min_n = DEVICE_MIN_N if device_min_n is None else device_min_n
     if m < min_n:
+        if coo is not None:
+            adjacency = _coo_to_dense_np(ci, cj, cw, m)
         res = _run_mcl_numpy(adjacency,
                              np.asarray(inflations, np.float32),
                              expansion, max_iter, pruning)
@@ -279,8 +317,12 @@ def run_mcl_partitions(adjacency: np.ndarray, inflations: Sequence[float],
                  for b in range(len(res.n_iters))]
         return parts, res.n_iters, res.converged
     n = _bucket_pad(m)
-    a = _pad_to(adjacency.astype(np.float32), n)
-    p = _colnorm(jnp.asarray(a))
+    if coo is not None:
+        a = _densify_coo(jnp.asarray(ci), jnp.asarray(cj),
+                         jnp.asarray(cw), n, m)
+    else:
+        a = jnp.asarray(_pad_to(adjacency.astype(np.float32), n))
+    p = _colnorm(a)
     p = _matpower(p, expansion, precision)
     infl = np.asarray(inflations, dtype=np.float32)
     B = len(infl)

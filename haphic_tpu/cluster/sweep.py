@@ -282,12 +282,16 @@ def run_clustering(flank: COO, filtered_ids: np.ndarray, frags: Fragments,
             expansion=expansion, max_iter=max_iter,
             pruning=pruning, precision=precision)
     else:
-        mat, frag_ids = build_adjacency(flank, filtered_ids, len(frags))
+        # links go up as O(nnz) COO and densify on device (the dense
+        # n^2 upload cost ~10-15 s/sweep at n=16384 over the tunnel);
         # partitions come back as packed nonzero bitmasks — the dense
         # (B, n, n) result never crosses the (slow) device->host wire
+        ci, cj, cw, frag_ids = build_adjacency_coo(flank, filtered_ids,
+                                                   len(frags))
         partitions, _, _ = mcl_mod.run_mcl_partitions(
-            mat, [float(i) for i in inflations], expansion=expansion,
-            max_iter=max_iter, pruning=pruning, precision=precision)
+            None, [float(i) for i in inflations], expansion=expansion,
+            max_iter=max_iter, pruning=pruning, precision=precision,
+            coo=(ci, cj, cw, len(frag_ids)))
     cluster_sets: List[ClusterSet] = []
     for b, inflation in enumerate(inflations):
         idx_clusters = partitions[b]

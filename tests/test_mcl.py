@@ -161,3 +161,27 @@ def test_run_mcl_partitions_matches_matrices_path():
     assert np.array_equal(iters, res.n_iters)
     for b in range(len(inflations)):
         assert parts[b] == interpret_result(res.matrices[b]), b
+
+
+def test_densify_coo_matches_host_build():
+    """The on-device COO densify must equal sweep.build_adjacency's
+    host dense build (same scatter-add + self-loop semantics),
+    including duplicate COO entries."""
+    import numpy as np
+    from haphic_tpu.cluster.mcl import _densify_coo
+    from haphic_tpu.cluster.sweep import build_adjacency
+    from haphic_tpu.core.contacts import COO
+    rng = np.random.default_rng(3)
+    m, nnz = 37, 400
+    i = rng.integers(0, m, nnz)
+    j = rng.integers(0, m, nnz)
+    lo, hi = np.minimum(i, j), np.maximum(i, j)
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    w = rng.integers(1, 9, keep.sum()).astype(np.float64)
+    flank = COO(i=lo, j=hi, w=w)
+    ids = np.arange(m)
+    want, _ = build_adjacency(flank, ids, m)
+    got = np.asarray(_densify_coo(lo, hi, w, 64, m))
+    assert np.array_equal(got[:m, :m], want)
+    assert not got[m:].any() and not got[:, m:].any()
