@@ -136,6 +136,10 @@ class MCLResult:
     converged: np.ndarray     # (B,)
 
 
+# Below this n the COO->device densify (an extra scatter compile on
+# the critical path) loses to a plain host dense build + upload.
+COO_DENSIFY_MIN_N = int(os.environ.get('HAPHIC_COO_DENSIFY_MIN_N', 8192))
+
 # Below this n the XLA compile time (tens of seconds per fresh process on
 # the tunnel TPU backend) dwarfs the compute; plain numpy finishes the
 # whole sweep in < ~2 s. Overridable for tests / power users.
@@ -317,7 +321,22 @@ def run_mcl_partitions(adjacency: Optional[np.ndarray],
                  for b in range(len(res.n_iters))]
         return parts, res.n_iters, res.converged
     n = _bucket_pad(m)
+    if coo is not None and m < COO_DENSIFY_MIN_N:
+        # below this size the dense host build + upload is ~free
+        # (16 MB at n=2048) while the device scatter program is one
+        # more compile on the critical path — densify on the host
+        adjacency = _coo_to_dense_np(ci, cj, cw, m)
+        coo = None
     if coo is not None:
+        # pad the COO to power-of-two nnz with zero-weight (0, 0)
+        # entries: the scatter executable's shape would otherwise ride
+        # the data-dependent nnz and recompile every dataset (~18 s
+        # measured at n=2048)
+        nnz = len(ci)
+        cap = 1 << max(int(np.ceil(np.log2(max(nnz, 1)))), 10)
+        ci = np.pad(np.asarray(ci, np.int32), (0, cap - nnz))
+        cj = np.pad(np.asarray(cj, np.int32), (0, cap - nnz))
+        cw = np.pad(np.asarray(cw, np.float32), (0, cap - nnz))
         a = _densify_coo(jnp.asarray(ci), jnp.asarray(cj),
                          jnp.asarray(cw), n, m)
     else:
