@@ -545,7 +545,10 @@ def bench_pipeline_16k():
     conservative comparison. Returns (ref_total, ref_stages,
     ours_total, ours_stages, partition_equal)."""
     ent = _load_cache().get('pipeline_e2e_16k_ref')
-    if not ent:
+    want = dict(SIM_BIG)
+    want['inflation'] = list(BIG_INFLATION)
+    want['skip_allhic'] = True
+    if not ent or ent.get('params') != want:
         return None
     fa, pairs = make_sim(None, SIM_BIG)
     from haphic_tpu.assign.reassign import ReassignParams
