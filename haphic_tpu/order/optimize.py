@@ -1132,15 +1132,20 @@ def optimize_tour(problem: TourProblem, npop: int = 100, ngen: int = 5000,
 
     evolve = _evolve_delta if _delta_applicable([problem]) else _evolve
     done = 0
+    # no host sync between windows (see optimize_tours): keep each
+    # window's best as a device scalar, fetch after the last window
+    window_best: List[Tuple[int, object]] = []
     while done < ngen:
         step = min(log_every, ngen - done)
         key, kg = jax.random.split(key)
         order, ori, scores = evolve(kg, order, ori, lengths, pa, pb, d, w,
                                     mutprob, chunk, step)
         done += step
-        best = float(scores[0])
-        history.append((done, best))
-        logger.debug('GA generation %d: best score %.6f', done, best)
+        window_best.append((done, scores[0]))
+    for gen_done, best_j in window_best:
+        best = float(best_j)
+        history.append((gen_done, best))
+        logger.debug('GA generation %d: best score %.6f', gen_done, best)
 
     o, r = strip(order[0], ori[0])
     return GAResult(order=o, ori=r, score=float(scores[0]), history=history)
@@ -1325,6 +1330,13 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
         evolve_b = _evolve_delta_batched \
             if _delta_applicable(problems) else _evolve_batched
         done = 0
+        # windows are enqueued back to back WITHOUT a host sync in
+        # between: fetching each window's best score immediately would
+        # stall the dispatch pipeline for a device->host round trip
+        # per window (material when the chip sits behind a network
+        # tunnel); the per-window device arrays are kept and fetched
+        # once after the last window, so the history is identical
+        window_best: List[Tuple[int, object]] = []
         while done < ngen:
             step = min(log_every, ngen - done)
             key, kg = jax.random.split(key)
@@ -1337,11 +1349,14 @@ def optimize_tours(problems: Sequence[TourProblem], npop: int = 100,
                 gen_keys, order_j, ori_j, lengths_j, pa_j, pb_j, d_j, w_j,
                 mutprob, c_run, step)
             done += step
-            best = fetch(scores[:, 0])[0]
+            window_best.append((done, scores[:, 0]))
+
+        for gen_done, best_j in window_best:
+            best = fetch(best_j)[0]
             for t in range(G):
-                histories[t].append((done, float(best[t])))
+                histories[t].append((gen_done, float(best[t])))
             logger.debug('GA generation %d: bucket (k=%d, R=%d) best %s',
-                         done, k_pad, Rp, best)
+                         gen_done, k_pad, Rp, best)
 
         order_h, ori_h, final = fetch(order_j, ori_j, scores[:, 0])
         for t, gi in enumerate(idxs):
