@@ -537,7 +537,7 @@ def bench_pipeline_16k():
     ~4.3 h chain measurement (.bench_sim/measure_chain.py, cached as
     pipeline_e2e_16k_ref with per-stage walls and a pinned hash seed);
     our side runs ALL FOUR stages fresh with the device GA ON
-    (ngen via HAPHIC_BENCH_16K_NGEN, default 1000, npop 100) — the
+    (ngen via HAPHIC_BENCH_16K_NGEN, default 300, npop 100) — the
     reference side cannot run its GA at all at this scale (the allhic
     chain costs ~4.7 s/generation/group there, ~50 h at npop=100 x
     ngen=5000, which is why its own big-assembly mode documents

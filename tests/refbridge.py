@@ -181,6 +181,47 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
         _t = _mark('cluster', _t)
         if inflation is None:
             raise RuntimeError('reference recommended no inflation')
+    finally:
+        os.chdir(cwd)
+        sys.argv = argv
+    run_reference_tail(fa, alignments, nchrs, workdir, inflation,
+                       reassign_flags=reassign_flags,
+                       skip_allhic=skip_allhic, processes=processes,
+                       ngen=ngen, npop=npop, seed=seed,
+                       stage_times=stage_times)
+    return inflation
+
+
+def run_reference_tail(fa, alignments, nchrs, workdir, inflation,
+                       reassign_flags=(), skip_allhic=True, processes=2,
+                       ngen=5000, npop=100, seed=42, stage_times=None):
+    """Drive the reference's chain TAIL in-process: reassign → sort →
+    build (scripts/HapHiC_pipeline.py:497-532), given cluster-stage
+    artifacts already present in ``workdir``/01.cluster
+    (full_links.pkl, HT_links.pkl, paired_links.clm,
+    inflation_X/mcl_inflation_X.clusters.txt). Used both by
+    run_reference_pipeline (which produces those artifacts with the
+    reference's own cluster stage) and by the 16k baseline protocol
+    (.bench_sim/measure_chain.py --stage tail), which feeds it
+    byte-conformant artifacts from our cluster stage so the tail can
+    be timed without re-paying the ~4 h reference cluster run."""
+    import glob
+    import time as _time
+
+    def _mark(name, t0, _st=stage_times):
+        if _st is not None:
+            _st[name] = round(_time.time() - t0, 2)
+        return _time.time()
+
+    _t = _time.time()
+    reassign = load('HapHiC_reassign')
+    sort_mod = load('HapHiC_sort')
+    build = load('HapHiC_build')
+    fa = os.path.abspath(fa)
+    alignments = os.path.abspath(alignments)
+    cwd, argv = os.getcwd(), list(sys.argv)
+    try:
+        os.chdir(workdir)
         links = os.path.abspath('01.cluster/full_links.pkl')
         ht_links = os.path.abspath('01.cluster/HT_links.pkl')
         clm = os.path.abspath('01.cluster/paired_links.clm')
@@ -233,7 +274,6 @@ def run_reference_pipeline(fa, alignments, nchrs, workdir,
         build.run(args, log_file='HapHiC_build.log')
         os.chdir('..')
         _mark('build', _t)
-        return inflation
     finally:
         os.chdir(cwd)
         sys.argv = argv
