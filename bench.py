@@ -90,6 +90,18 @@ import numpy as np
 
 CACHE_PATH = os.path.join(REPO, 'bench_baselines.json')
 
+# Persistent XLA compilation cache, bench-wide opt-in (inherited by
+# subprocess submetrics like tpu_integration). Re-measured 2026-08-22
+# on the tunnel backend: executable deserialize is now ~1-3 s where a
+# raw compile costs 20-140 s (the sparse-MCL while-loop executable:
+# 61.4 s first process -> 2.5 s second), so repeated bench runs on
+# this host skip most cold-compile wall and the budget buys real
+# submetrics instead. cold_s in the artifact therefore reflects a
+# warm production install; delete .bench_sim/xla_cache to measure
+# true first-ever compiles. HAPHIC_NO_JAX_CACHE=1 opts out.
+os.environ.setdefault('HAPHIC_JAX_CACHE_DIR',
+                      os.path.join(REPO, '.bench_sim', 'xla_cache'))
+
 N_INFLATIONS = 20
 INFLATIONS = [round(1.1 + 0.1 * i, 2) for i in range(N_INFLATIONS)]
 # the sparse submetric's reduced sweep (one device inflation batch);
@@ -131,8 +143,12 @@ def _load_cache():
 
 
 def _save_cache(cache):
-    with open(CACHE_PATH, 'w') as f:
+    # atomic replace: a bench killed mid-write must never corrupt the
+    # baselines file (it holds one-time multi-hour measurements)
+    tmp = CACHE_PATH + '.tmp'
+    with open(tmp, 'w') as f:
         json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, CACHE_PATH)
 
 
 def cached_baseline(key, params, fn):

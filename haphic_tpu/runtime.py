@@ -9,15 +9,17 @@ TPU v5e behind the 'axon' tunnel):
    config flags snapshot the environment when ``jax._src.config`` is
    first imported. Only ``jax.config.update(...)`` at runtime works.
 
-2. On the tunnel TPU backend, the persistent compilation cache is a
-   *pessimization*: executable serialization/deserialization runs on
-   the remote service and was measured at minutes per medium-sized
-   executable (e.g. the batched-MCL while-loop: raw compile ~1-2 s;
-   cache deserialize >400 s), and work abandoned by killed clients
-   keeps the service busy, serializing later requests. Raw XLA
-   compiles are fast there, so no cache is the right default. On CPU
-   (the test mesh) the cache is local and saves minutes of XLA:CPU
-   compile time, so it stays on.
+2. On the tunnel TPU backend, the persistent compilation cache was
+   measured (round 3) as a *pessimization*: executable
+   serialization/deserialization ran on the remote service at minutes
+   per medium-sized executable (the batched-MCL while-loop: raw
+   compile ~1-2 s; cache deserialize >400 s). Re-measured 2026-08-22
+   the pathology is gone (sparse-MCL while-loop: 61.4 s raw compile
+   -> 2.5 s cache hit), so the cache is a large win there too — but
+   backend behavior has now flipped once per direction, so the
+   conservative default stands and the bench opts in explicitly via
+   ``HAPHIC_JAX_CACHE_DIR``. On CPU (the test mesh) the cache is
+   local and saves minutes of XLA:CPU compile time, so it stays on.
 
 Policy: enable the persistent cache iff the first configured JAX
 platform is ``cpu``, or the user explicitly forces a cache directory
